@@ -1,0 +1,171 @@
+"""Command-line entry points.
+
+Maps the reference's three workloads (SURVEY.md §0, `README.md:71-253`) onto
+subcommands:
+
+    python -m caduceus_tpu.cli pretrain  --fasta ... --bed ... [overrides]
+    python -m caduceus_tpu.cli finetune  --task genomic_benchmark ...
+    python -m caduceus_tpu.cli vep       --fasta ... --vcf ...
+    python -m caduceus_tpu.cli eval      --checkpoint ...
+
+Replaces the Hydra CLI (`train.py:700-715`) with argparse + dataclass
+configs; `model_config.json` is written to the run dir at startup for
+fine-tuning consumption (parity with `src/utils/train.py:132-138`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--d-model", type=int, default=256)
+    p.add_argument("--n-layer", type=int, default=16)
+    p.add_argument("--no-rcps", action="store_true")
+    p.add_argument("--bidirectional-strategy", default="add")
+    p.add_argument("--no-weight-tie", action="store_true")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--config-path", default=None,
+                   help="load model config from a model_config.json")
+
+
+def _build_model_config(args, tokenizer):
+    from caduceus_tpu.config import CaduceusConfig, SSMConfig
+
+    if args.config_path:
+        cfg = CaduceusConfig.load(args.config_path)
+        cfg.complement_map = tokenizer.complement_map
+        return cfg
+    return CaduceusConfig(
+        d_model=args.d_model,
+        n_layer=args.n_layer,
+        vocab_size=tokenizer.vocab_size,
+        ssm_cfg=SSMConfig(),
+        rcps=not args.no_rcps,
+        bidirectional_strategy=args.bidirectional_strategy,
+        bidirectional_weight_tie=not args.no_weight_tie,
+        complement_map=tokenizer.complement_map,
+        dtype=args.dtype,
+        remat=args.remat,
+    )
+
+
+def cmd_pretrain(argv):
+    p = argparse.ArgumentParser(prog="pretrain")
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--bed", required=True)
+    p.add_argument("--max-length", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-steps", type=int, default=10000)
+    p.add_argument("--lr", type=float, default=8e-3)
+    p.add_argument("--weight-decay", type=float, default=0.1)
+    p.add_argument("--mlm-probability", type=float, default=0.15)
+    p.add_argument("--ntp", action="store_true", help="next-token objective instead of MLM")
+    p.add_argument("--rc-aug", action="store_true")
+    p.add_argument("--accum-steps", type=int, default=1)
+    p.add_argument("--run-dir", default="./outputs/pretrain")
+    p.add_argument("--seed", type=int, default=2222)
+    p.add_argument("--resume", action="store_true")
+    _add_common_model_args(p)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from caduceus_tpu.data.hg38 import HG38DataModule
+    from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
+    from caduceus_tpu.train.trainer import Trainer, TrainerConfig
+
+    dm = HG38DataModule(
+        args.bed,
+        args.fasta,
+        max_length=args.max_length,
+        batch_size=args.batch_size,
+        mlm=not args.ntp,
+        mlm_probability=args.mlm_probability,
+        rc_aug=args.rc_aug,
+        seed=args.seed,
+        rank=jax.process_index(),
+        world_size=jax.process_count(),
+    )
+    cfg = _build_model_config(args, dm.tokenizer)
+    os.makedirs(args.run_dir, exist_ok=True)
+    cfg.save(os.path.join(args.run_dir, "model_config.json"))
+
+    model = CaduceusForMaskedLM(cfg)
+    tcfg = TrainerConfig(
+        max_steps=args.max_steps,
+        run_dir=args.run_dir,
+        seed=args.seed,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        accum_steps=args.accum_steps,
+    )
+    train_loader = dm.train_loader()
+    trainer = Trainer(model, tcfg, train_loader, dm.eval_loader("valid"),
+                      ignore_index=dm.tokenizer.pad_token_id)
+    trainer.init_state(next(iter(train_loader)))
+    if args.resume:
+        trainer.restore_checkpoint()
+    metrics = trainer.fit()
+    trainer.save_checkpoint()
+    print(json.dumps({"final": metrics}))
+
+
+def cmd_finetune(argv):
+    from caduceus_tpu.finetune import main as finetune_main
+
+    finetune_main(argv)
+
+
+def cmd_vep(argv):
+    from caduceus_tpu.vep import main as vep_main
+
+    vep_main(argv)
+
+
+def cmd_eval(argv):
+    p = argparse.ArgumentParser(prog="eval")
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--bed", required=True)
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--max-length", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-batches", type=int, default=100)
+    args = p.parse_args(argv)
+
+    from caduceus_tpu.config import CaduceusConfig
+    from caduceus_tpu.data.hg38 import HG38DataModule
+    from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
+    from caduceus_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = CaduceusConfig.load(os.path.join(args.run_dir, "model_config.json"))
+    dm = HG38DataModule(args.bed, args.fasta, max_length=args.max_length,
+                        batch_size=args.batch_size)
+    model = CaduceusForMaskedLM(cfg)
+    tcfg = TrainerConfig(run_dir=args.run_dir)
+    trainer = Trainer(model, tcfg, dm.train_loader(), dm.eval_loader(args.split))
+    trainer.init_state(next(iter(trainer.train_loader)))
+    assert trainer.restore_checkpoint(), "no checkpoint found"
+    print(json.dumps(trainer.evaluate(max_batches=args.max_batches)))
+
+
+def main():
+    cmds = {
+        "pretrain": cmd_pretrain,
+        "finetune": cmd_finetune,
+        "vep": cmd_vep,
+        "eval": cmd_eval,
+    }
+    if len(sys.argv) < 2 or sys.argv[1] not in cmds:
+        print(f"usage: python -m caduceus_tpu.cli {{{','.join(cmds)}}} ...")
+        sys.exit(2)
+    cmds[sys.argv[1]](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Configuration dataclasses for caduceus_tpu.
+
+Mirrors the capability surface of the reference config
+(`caduceus/configuration_caduceus.py:10-55` + `configs/model/caduceus.yaml`)
+as plain dataclasses — no Hydra, no `eval` resolvers. YAML overlays are
+supported via :func:`load_config` / :func:`save_config`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+@dataclass
+class SSMConfig:
+    """Mamba (selective SSM) inner configuration.
+
+    Defaults match the reference ssm_cfg (`configs/model/caduceus.yaml:9-21`
+    and mamba_ssm 1.2.0 `Mamba.__init__` defaults).
+    """
+
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: Any = "auto"  # "auto" => ceil(d_model / 16)
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_init: str = "random"  # "random" | "constant"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    conv_bias: bool = True
+    bias: bool = False
+    # The reference's `use_fast_path` selects the fused CUDA kernel; here the
+    # equivalent switch selects the Pallas kernel vs the XLA chunked scan.
+    use_kernel: str = "auto"  # "auto" | "pallas" | "xla"
+
+    def resolved_dt_rank(self, d_model: int) -> int:
+        if self.dt_rank == "auto":
+            return math.ceil(d_model / 16)
+        return int(self.dt_rank)
+
+
+@dataclass
+class CaduceusConfig:
+    """Model configuration.
+
+    Capability parity with `caduceus/configuration_caduceus.py:10-55`.
+    """
+
+    d_model: int = 256
+    n_layer: int = 16
+    vocab_size: int = 12
+    ssm_cfg: SSMConfig = field(default_factory=SSMConfig)
+    rms_norm: bool = True
+    residual_in_fp32: bool = True
+    fused_add_norm: bool = True  # accepted for parity; XLA fuses add+norm natively
+    pad_vocab_size_multiple: int = 8
+    norm_epsilon: float = 1e-5
+
+    # init (`caduceus/modeling_caduceus.py:304-341`)
+    initializer_range: float = 0.02
+    rescale_prenorm_residual: bool = True
+    n_residuals_per_layer: int = 1
+
+    # Caduceus-specific
+    bidirectional: bool = True
+    bidirectional_strategy: Optional[str] = "add"  # "add" | "ew_multiply"
+    bidirectional_weight_tie: bool = True
+    rcps: bool = False
+    complement_map: Optional[Dict[int, int]] = None
+
+    # loss / tokenizer interplay
+    pad_token_id: int = 4
+
+    # numerics policy (TPU): params fp32, compute bf16
+    dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    # gradient checkpointing over layers (the reference lacks this for
+    # Caduceus — `modeling_caduceus.py:301` — but it is required for 131k
+    # sequence training on TPU HBM budgets)
+    remat: bool = False
+
+    def __post_init__(self):
+        if isinstance(self.ssm_cfg, dict):
+            self.ssm_cfg = SSMConfig(**self.ssm_cfg)
+        if self.complement_map is not None:
+            # JSON round-trips dict keys as strings; normalize to int->int
+            self.complement_map = {int(k): int(v) for k, v in self.complement_map.items()}
+        if self.bidirectional and self.bidirectional_strategy is None:
+            self.bidirectional_strategy = "add"
+        if self.bidirectional and self.bidirectional_strategy not in ("add", "ew_multiply"):
+            raise NotImplementedError(
+                f"bidirectional_strategy={self.bidirectional_strategy!r} not implemented"
+            )
+
+    # -- derived quantities ------------------------------------------------
+    @property
+    def padded_vocab_size(self) -> int:
+        """Vocab padded up to a multiple of `pad_vocab_size_multiple`.
+
+        Matches `caduceus/modeling_caduceus.py:353-354`.
+        """
+        m = self.pad_vocab_size_multiple
+        v = self.vocab_size
+        if v % m != 0:
+            v += m - (v % m)
+        return v
+
+    def padded_complement_map(self) -> Optional[Dict[int, int]]:
+        """Complement map extended with identity for vocab-padding ids.
+
+        Matches `caduceus/modeling_caduceus.py:355-357`.
+        """
+        if self.complement_map is None:
+            return None
+        cm = dict(self.complement_map)
+        for i in range(len(cm), self.padded_vocab_size):
+            cm[i] = i
+        return cm
+
+    @property
+    def d_inner(self) -> int:
+        return self.ssm_cfg.expand * self.d_model
+
+    @property
+    def dt_rank(self) -> int:
+        return self.ssm_cfg.resolved_dt_rank(self.d_model)
+
+    # -- serialization -----------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "CaduceusConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def save(self, path: str) -> None:
+        """Write `model_config.json`-style artifact (cf. `src/utils/train.py:132-138`)."""
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str) -> "CaduceusConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+def _apply_overrides(cfg: Any, overrides: Dict[str, Any]) -> Any:
+    """Apply dotted-key overrides to a (possibly nested) dataclass."""
+    for key, value in overrides.items():
+        obj = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        leaf = parts[-1]
+        if not hasattr(obj, leaf):
+            raise KeyError(f"unknown config key: {key}")
+        setattr(obj, leaf, value)
+    return cfg
+
+
+def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> CaduceusConfig:
+    """Load a model config from YAML or JSON, with dotted overrides."""
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f)
+    else:
+        with open(path) as f:
+            data = json.load(f)
+    cfg = CaduceusConfig.from_dict(data)
+    if overrides:
+        _apply_overrides(cfg, overrides)
+    return cfg

@@ -1,0 +1,320 @@
+"""Mamba mixer and BiMamba (bidirectional Mamba) — TPU-native.
+
+Re-designs the reference stack `BiMambaWrapper(Mamba)` — see
+`caduceus/modeling_caduceus.py:87-140` wrapping mamba-ssm 1.2.0's `Mamba`
+module (`mamba_simple.py`) — as a single fused module:
+
+- one input projection evaluated once when directions share weights
+  (`bidirectional_weight_tie`, reference ties post-hoc at
+  `modeling_caduceus.py:114-118`; here the sharing is structural);
+- the reverse direction never materializes `x.flip(1)` — the conv and scan
+  take a ``reverse`` flag (index arithmetic, cf. SURVEY.md §7.3);
+- with the "add" combine and tied projections, the SiLU gate and the output
+  projection are applied once to the *sum* of directional scan outputs
+  (algebraically identical: W(y_f·s(z)) + W(y_r·s(z)) = W((y_f+y_r)·s(z))),
+  halving out-projection FLOPs vs the reference.
+
+Parameter initializers reproduce the reference's torch init distributions
+(mamba-ssm `Mamba.__init__` + GPT-2 residual rescale at
+`caduceus/modeling_caduceus.py:325-341`) so loss trajectories are comparable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from caduceus_tpu.config import CaduceusConfig
+from caduceus_tpu.ops.conv import causal_conv1d
+from caduceus_tpu.ops.selective_scan import selective_scan
+
+
+# ---------------------------------------------------------------------------
+# Initializers matching torch defaults used by the reference
+# ---------------------------------------------------------------------------
+
+def torch_linear_init(fan_in: int, scale: float = 1.0):
+    """torch nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))."""
+    bound = scale / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def dt_proj_kernel_init(dt_rank: int, dt_init: str, dt_scale: float):
+    """mamba-ssm dt_proj weight init (`mamba_simple.py`)."""
+    std = dt_rank**-0.5 * dt_scale
+    if dt_init == "constant":
+        return nn.initializers.constant(std)
+    if dt_init == "random":
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -std, std)
+        return init
+    raise NotImplementedError(dt_init)
+
+
+def dt_proj_bias_init(dt_min: float, dt_max: float, dt_init_floor: float):
+    """mamba-ssm dt_proj bias init: softplus^-1 of log-uniform dt."""
+
+    def init(key, shape, dtype=jnp.float32):
+        dt = jnp.exp(
+            jax.random.uniform(key, shape, jnp.float32)
+            * (math.log(dt_max) - math.log(dt_min))
+            + math.log(dt_min)
+        )
+        dt = jnp.clip(dt, min=dt_init_floor)
+        # inverse softplus: x = dt + log(-expm1(-dt))
+        inv_dt = dt + jnp.log(-jnp.expm1(-dt))
+        return inv_dt.astype(dtype)
+
+    return init
+
+
+def a_log_init(d_state: int):
+    """S4D-real init: A = -(1..N), stored as log (`mamba_simple.py`)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        d_inner, n = shape
+        a = jnp.tile(jnp.arange(1, n + 1, dtype=jnp.float32)[None], (d_inner, 1))
+        return jnp.log(a).astype(dtype)
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# Functional core
+# ---------------------------------------------------------------------------
+
+def ssm_branch(
+    x: jnp.ndarray,  # (..., L, d_inner) — conv input (pre-activation)
+    conv_w: jnp.ndarray,  # (K, d_inner)
+    conv_b: Optional[jnp.ndarray],
+    x_proj_w: jnp.ndarray,  # (d_inner, dt_rank + 2N)
+    dt_proj_w: jnp.ndarray,  # (dt_rank, d_inner)
+    dt_proj_b: jnp.ndarray,  # (d_inner,)
+    A_log: jnp.ndarray,  # (d_inner, N)
+    D: jnp.ndarray,  # (d_inner,)
+    dt_rank: int,
+    d_state: int,
+    reverse: bool = False,
+    chunk_size: int = 256,
+) -> jnp.ndarray:
+    """One directional inner-SSM pass: conv → projections → selective scan.
+
+    Returns the ungated scan output (..., L, d_inner); gating and output
+    projection are the caller's responsibility (enables the add-combine
+    fusion in BiMamba).
+    """
+    lead = x.shape[:-2]
+    L, d_inner = x.shape[-2], x.shape[-1]
+    x3 = x.reshape((-1, L, d_inner))
+
+    xc = causal_conv1d(x3, conv_w, conv_b, activation="silu", reverse=reverse)
+
+    dbc = xc @ x_proj_w.astype(xc.dtype)  # (B', L, dt_rank + 2N)
+    dt, B_mat, C = jnp.split(dbc, [dt_rank, dt_rank + d_state], axis=-1)
+    delta_raw = dt @ dt_proj_w.astype(dt.dtype)  # (B', L, d_inner)
+
+    A = -jnp.exp(A_log.astype(jnp.float32))
+    y = selective_scan(
+        xc,
+        delta_raw,
+        A,
+        B_mat,
+        C,
+        D=D,
+        z=None,
+        delta_bias=dt_proj_b,
+        delta_softplus=True,
+        reverse=reverse,
+        chunk_size=chunk_size,
+    )
+    return y.reshape(*lead, L, d_inner)
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+class _DirectionParams(nn.Module):
+    """Per-direction inner-SSM parameters (conv + dt/B/C projections + A, D)."""
+
+    cfg: CaduceusConfig
+    name_prefix: str = ""
+
+    def setup(self):
+        c = self.cfg
+        s = c.ssm_cfg
+        d_inner, dt_rank = c.d_inner, c.dt_rank
+        pdt = jnp.dtype(c.param_dtype)
+        self.conv_w = self.param(
+            "conv_w", torch_linear_init(s.d_conv), (s.d_conv, d_inner), pdt
+        )
+        self.conv_b = (
+            self.param("conv_b", torch_linear_init(s.d_conv), (d_inner,), pdt)
+            if s.conv_bias
+            else None
+        )
+        self.x_proj_w = self.param(
+            "x_proj_w", torch_linear_init(d_inner), (d_inner, dt_rank + 2 * s.d_state), pdt
+        )
+        self.dt_proj_w = self.param(
+            "dt_proj_w",
+            dt_proj_kernel_init(dt_rank, s.dt_init, s.dt_scale),
+            (dt_rank, d_inner),
+            pdt,
+        )
+        self.dt_proj_b = self.param(
+            "dt_proj_b",
+            dt_proj_bias_init(s.dt_min, s.dt_max, s.dt_init_floor),
+            (d_inner,),
+            pdt,
+        )
+        # A_log and D are kept in fp32 always (reference marks them
+        # `_no_weight_decay` and the CUDA kernel reads them in fp32).
+        self.A_log = self.param("A_log", a_log_init(s.d_state), (d_inner, s.d_state), jnp.float32)
+        self.D = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
+
+    def __call__(self, x: jnp.ndarray, reverse: bool, chunk_size: int) -> jnp.ndarray:
+        c = self.cfg
+        return ssm_branch(
+            x,
+            self.conv_w.astype(x.dtype),
+            None if self.conv_b is None else self.conv_b.astype(x.dtype),
+            self.x_proj_w,
+            self.dt_proj_w,
+            self.dt_proj_b,
+            self.A_log,
+            self.D,
+            dt_rank=c.dt_rank,
+            d_state=c.ssm_cfg.d_state,
+            reverse=reverse,
+            chunk_size=chunk_size,
+        )
+
+
+class MambaMixer(nn.Module):
+    """Unidirectional Mamba mixer (reference `Mamba`, mamba-ssm 1.2.0).
+
+    in_proj → [conv → SiLU → selective scan] → gate → out_proj.
+    """
+
+    cfg: CaduceusConfig
+    scan_chunk_size: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        d_inner = c.d_inner
+        dtype = jnp.dtype(c.dtype)
+        x = x.astype(dtype)
+
+        in_proj = nn.Dense(
+            2 * d_inner,
+            use_bias=c.ssm_cfg.bias,
+            kernel_init=torch_linear_init(c.d_model),
+            param_dtype=jnp.dtype(c.param_dtype),
+            dtype=dtype,
+            name="in_proj",
+        )
+        out_proj = nn.Dense(
+            c.d_model,
+            use_bias=c.ssm_cfg.bias,
+            kernel_init=torch_linear_init(
+                d_inner, scale=_residual_rescale(c)
+            ),
+            param_dtype=jnp.dtype(c.param_dtype),
+            dtype=dtype,
+            name="out_proj",
+        )
+        xz = in_proj(x)
+        xi, z = jnp.split(xz, 2, axis=-1)
+        direction = _DirectionParams(c, name="fwd")
+        y = direction(xi, reverse=False, chunk_size=self.scan_chunk_size)
+        y = y * jax.nn.silu(z)
+        return out_proj(y)
+
+
+def _residual_rescale(c: CaduceusConfig) -> float:
+    """GPT-2 prenorm-residual rescale of out_proj init
+    (`caduceus/modeling_caduceus.py:325-341`)."""
+    if not c.rescale_prenorm_residual:
+        return 1.0
+    return 1.0 / math.sqrt(c.n_residuals_per_layer * c.n_layer)
+
+
+class BiMamba(nn.Module):
+    """Bidirectional Mamba (reference `BiMambaWrapper`,
+    `caduceus/modeling_caduceus.py:87-140`) with structural weight sharing.
+
+    Handles all four reference configurations:
+      (tie, add)          — fully fused: 1 in_proj, 1 gate, 1 out_proj
+      (tie, ew_multiply)  — 1 in_proj, shared-out_proj applied per direction
+      (untie, add/mul)    — separate projections per direction
+    and ``bidirectional=False`` → plain Mamba.
+    """
+
+    cfg: CaduceusConfig
+    scan_chunk_size: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        if not c.bidirectional:
+            return MambaMixer(c, self.scan_chunk_size, name="mamba_fwd")(x)
+
+        d_inner = c.d_inner
+        dtype = jnp.dtype(c.dtype)
+        pdt = jnp.dtype(c.param_dtype)
+        x = x.astype(dtype)
+        tied = c.bidirectional_weight_tie
+        strategy = c.bidirectional_strategy
+
+        def dense(feats, fan_in, scale, name):
+            return nn.Dense(
+                feats,
+                use_bias=c.ssm_cfg.bias,
+                kernel_init=torch_linear_init(fan_in, scale=scale),
+                param_dtype=pdt,
+                dtype=dtype,
+                name=name,
+            )
+
+        rescale = _residual_rescale(c)
+        in_proj = dense(2 * d_inner, c.d_model, 1.0, "in_proj")
+        out_proj = dense(c.d_model, d_inner, rescale, "out_proj")
+
+        fwd = _DirectionParams(c, name="fwd")
+        rev = _DirectionParams(c, name="rev")
+
+        if tied:
+            xz = in_proj(x)
+            xi, z = jnp.split(xz, 2, axis=-1)
+            y_f = fwd(xi, reverse=False, chunk_size=self.scan_chunk_size)
+            y_r = rev(xi, reverse=True, chunk_size=self.scan_chunk_size)
+            gate = jax.nn.silu(z)
+            if strategy == "add":
+                return out_proj((y_f + y_r) * gate)
+            # ew_multiply with shared out_proj weights
+            return out_proj(y_f * gate) * out_proj(y_r * gate)
+
+        # untied: independent projections per direction
+        in_proj_rev = dense(2 * d_inner, c.d_model, 1.0, "in_proj_rev")
+        out_proj_rev = dense(c.d_model, d_inner, rescale, "out_proj_rev")
+        xz_f = in_proj(x)
+        xz_r = in_proj_rev(x)
+        xi_f, z_f = jnp.split(xz_f, 2, axis=-1)
+        xi_r, z_r = jnp.split(xz_r, 2, axis=-1)
+        y_f = fwd(xi_f, reverse=False, chunk_size=self.scan_chunk_size)
+        y_r = rev(xi_r, reverse=True, chunk_size=self.scan_chunk_size)
+        o_f = out_proj(y_f * jax.nn.silu(z_f))
+        o_r = out_proj_rev(y_r * jax.nn.silu(z_r))
+        if strategy == "add":
+            return o_f + o_r
+        return o_f * o_r

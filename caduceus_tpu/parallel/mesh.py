@@ -1,0 +1,77 @@
+"""Device mesh + sharding helpers.
+
+The reference's distributed layer is PL-DDP over NCCL (`train.py:629-639`)
+with dormant flash-attn tensor-parallel hooks (SURVEY.md §2.4). Here the
+equivalent is a first-class `jax.sharding.Mesh` with axes:
+
+- ``data``  — batch sharding (DP); gradient psum inserted by XLA.
+- ``model`` — parameter/activation sharding (TP). Dormant in the reference;
+  here PartitionSpecs are parameterized so TP is a mesh-shape change, not a
+  code change.
+
+One process per host; arrays are global (jax.make_array_from_process_local
+handled by the data loader placing per-host shards).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Mesh over all (or given) devices: ('data', 'model').
+
+    Defaults to pure data parallelism (model=1), matching the reference's
+    only exercised strategy (SURVEY.md §2.4).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors: sharded over 'data' on the leading axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host-local numpy batch onto the mesh, sharded over 'data'.
+
+    Single-process: device_put with the named sharding. Multi-host: each
+    process contributes its local rows via
+    ``jax.make_array_from_process_local_data``.
+    """
+    sharding = batch_sharding(mesh)
+    data_size = mesh.shape[DATA_AXIS]
+    for k, v in (batch.items() if isinstance(batch, dict) else []):
+        if v.shape[0] % data_size != 0:
+            raise ValueError(
+                f"batch axis of '{k}' ({v.shape[0]}) must be divisible by the "
+                f"mesh 'data' axis ({data_size}); set batch_size to a multiple "
+                f"of the data-parallel degree or pass a smaller mesh"
+            )
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )

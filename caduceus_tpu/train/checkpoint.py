@@ -1,0 +1,113 @@
+"""Orbax checkpointing: params + optimizer state + step + data-iterator state.
+
+Replaces PL `ModelCheckpoint` (`src/utils/registry.py:49-51`,
+`configs/callbacks/checkpoint.yaml`) and the fault-tolerant sampler state
+plumbing (`src/dataloaders/genomics.py:198-205`): a checkpoint restores the
+exact (model, optimizer, schedule step, mid-epoch data position) tuple.
+
+Also provides backbone-only loading for fine-tuning — the semantics of
+`load_backbone` (`src/models/sequence/dna_embedding.py:198-255`): pretrained
+backbone weights are grafted into a freshly-initialized downstream model,
+keeping scratch init for head/decoder params.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _manager(path: str) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(path),
+        options=ocp.CheckpointManagerOptions(max_to_keep=2, create=True),
+    )
+
+
+def save_checkpoint(path: str, state, loader_state: Optional[dict] = None) -> str:
+    step = int(jax.device_get(state.step))
+    mgr = _manager(path)
+    mgr.save(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardSave({"params": state.params, "opt_state": state.opt_state, "step": state.step}),
+        ),
+    )
+    mgr.wait_until_finished()
+    if loader_state is not None and jax.process_index() == 0:
+        with open(os.path.join(path, f"loader_state_{step}.json"), "w") as f:
+            json.dump(loader_state, f)
+    mgr.close()
+    return os.path.join(path, str(step))
+
+
+def latest_step(path: str) -> Optional[int]:
+    if not os.path.isdir(path):
+        return None
+    mgr = _manager(path)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(path: str, state_template) -> Tuple[Any, Optional[dict]]:
+    """Restore into the structure of `state_template` (a TrainState)."""
+    from caduceus_tpu.train.trainer import TrainState
+
+    mgr = _manager(path)
+    step = mgr.latest_step()
+    assert step is not None, f"no checkpoint under {path}"
+    template = {
+        "params": state_template.params,
+        "opt_state": state_template.opt_state,
+        "step": state_template.step,
+    }
+    restored = mgr.restore(
+        step,
+        args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+    )["state"]
+    mgr.close()
+    loader_state = None
+    lpath = os.path.join(path, f"loader_state_{step}.json")
+    if os.path.exists(lpath):
+        with open(lpath) as f:
+            loader_state = json.load(f)
+    return TrainState(restored["params"], restored["opt_state"], restored["step"]), loader_state
+
+
+def save_params(path: str, params) -> None:
+    """Weights-only artifact (for releasing pretrained backbones)."""
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(path), params)
+    ckpt.wait_until_finished()
+    ckpt.close()
+
+
+def load_params(path: str, template=None):
+    ckpt = ocp.StandardCheckpointer()
+    out = ckpt.restore(os.path.abspath(path), template) if template is not None else ckpt.restore(os.path.abspath(path))
+    ckpt.close()
+    return out
+
+
+def load_backbone(pretrained_params, scratch_params, freeze: bool = False):
+    """Graft pretrained backbone params into a downstream model's tree.
+
+    Semantics of `load_backbone` (`dna_embedding.py:198-255`): every leaf
+    under 'backbone' whose path exists in the pretrained tree is replaced;
+    head/decoder/score leaves keep their scratch init.
+    Returns the merged params pytree.
+    """
+    flat_pre = dict(jax.tree_util.tree_flatten_with_path(pretrained_params)[0])
+    flat_scr, treedef = jax.tree_util.tree_flatten_with_path(scratch_params)
+    merged = []
+    for path, leaf in flat_scr:
+        if path in flat_pre and flat_pre[path].shape == leaf.shape:
+            merged.append(flat_pre[path].astype(leaf.dtype))
+        else:
+            merged.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, merged)

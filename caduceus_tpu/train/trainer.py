@@ -1,0 +1,291 @@
+"""pjit training runtime.
+
+Replaces the reference's Lightning stack (`train.py:126-592` +
+`create_trainer` `train.py:596-646`): one jitted train step over a
+('data','model') mesh — forward, masked CE, grad, AdamW update, metrics —
+with gradient accumulation via `lax.scan` over microbatches (the reference
+uses PL `accumulate_grad_batches`, `configs/experiment/hg38/hg38.yaml:17`).
+
+Data-parallel gradient averaging is implicit: batch arrays are sharded over
+'data', parameters are replicated, so XLA inserts the psum during the
+backward pass (the NCCL all-reduce of `train.py:629-639` disappears as
+explicit code).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from caduceus_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from caduceus_tpu.train.metrics import NumTokens, Perplexity, accuracy, cross_entropy_loss
+from caduceus_tpu.train.optim import make_optimizer
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+    def tree_flatten(self):  # pragma: no cover - registered below
+        return (self.params, self.opt_state, self.step), None
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, c: TrainState(*c),
+)
+
+
+def make_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    ignore_index: int = 4,
+    accum_steps: int = 1,
+):
+    """Build the jitted train step.
+
+    batch["input_ids"]/["targets"]: (accum*B, L) — reshaped to
+    (accum, B, L) internally when accum_steps > 1.
+    """
+
+    def loss_fn(params, input_ids, targets):
+        logits = apply_fn(params, input_ids)
+        loss, aux = cross_entropy_loss(logits, targets, ignore_index=ignore_index)
+        correct = accuracy(logits, targets, ignore_index=ignore_index)
+        aux["acc"] = correct
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> tuple:
+        ids, tgt = batch["input_ids"], batch["targets"]
+        if accum_steps > 1:
+            nb = ids.shape[0] // accum_steps
+            ids = ids.reshape(accum_steps, nb, *ids.shape[1:])
+            tgt = tgt.reshape(accum_steps, nb, *tgt.shape[1:])
+
+            def micro(carry, xt):
+                g_acc, l_acc, a_acc = carry
+                (l, aux), g = grad_fn(state.params, xt[0], xt[1])
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l, a_acc + aux["acc"]), aux
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (g, loss, acc), auxes = jax.lax.scan(micro, (zero, 0.0, 0.0), (ids, tgt))
+            g = jax.tree_util.tree_map(lambda t: t / accum_steps, g)
+            loss = loss / accum_steps
+            acc = acc / accum_steps
+            aux = {
+                "loss_sum": auxes["loss_sum"].sum(),
+                "count": auxes["count"].sum(),
+                "acc": acc,
+            }
+        else:
+            (loss, aux), g = grad_fn(state.params, ids, tgt)
+
+        updates, new_opt = tx.update(g, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(g)
+        new_state = TrainState(new_params, new_opt, state.step + 1)
+        metrics = {
+            "loss": loss,
+            "acc": aux["acc"],
+            "loss_sum": aux["loss_sum"],
+            "count": aux["count"],
+            "grad_norm": gnorm,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(apply_fn: Callable, ignore_index: int = 4):
+    def eval_step(params, batch):
+        logits = apply_fn(params, batch["input_ids"])
+        loss, aux = cross_entropy_loss(logits, batch["targets"], ignore_index=ignore_index)
+        aux["acc"] = accuracy(logits, batch["targets"], ignore_index=ignore_index)
+        aux["loss"] = loss
+        return aux
+
+    return eval_step
+
+
+@dataclass
+class TrainerConfig:
+    max_steps: int = 10_000
+    log_every: int = 50
+    eval_every: int = 1_000
+    eval_batches: int = 16
+    checkpoint_every: int = 500
+    accum_steps: int = 1
+    run_dir: str = "./outputs/run"
+    seed: int = 2222
+    # optimizer
+    lr: float = 8e-3
+    weight_decay: float = 0.1
+    betas: tuple = (0.9, 0.95)
+    warmup_frac: float = 0.1
+    lr_min: float = 1e-4
+    warmup_lr_init: float = 1e-6
+    gradient_clip: float = 1.0
+
+
+class Trainer:
+    """Minimal step-based training loop with streaming metrics, periodic
+    eval, and Orbax checkpointing incl. data-iterator state (the reference's
+    fault-tolerant resume contract, SURVEY.md §5.3/§5.4)."""
+
+    def __init__(
+        self,
+        model,
+        cfg: TrainerConfig,
+        train_loader,
+        eval_loader=None,
+        mesh: Optional[Mesh] = None,
+        ignore_index: int = 4,
+        log_fn: Optional[Callable[[Dict], None]] = None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.mesh = mesh or make_mesh()
+        self.ignore_index = ignore_index
+        self.log_fn = log_fn or (lambda m: print(json.dumps(m)))
+        self.ppl = Perplexity()
+        self.num_tokens = NumTokens()
+
+        warmup_t = int(cfg.warmup_frac * cfg.max_steps)
+        self.tx, self.schedule = make_optimizer(
+            lr=cfg.lr,
+            weight_decay=cfg.weight_decay,
+            betas=cfg.betas,
+            warmup_t=warmup_t,
+            t_initial=cfg.max_steps - warmup_t,
+            lr_min=cfg.lr_min,
+            warmup_lr_init=cfg.warmup_lr_init,
+            gradient_clip=cfg.gradient_clip,
+        )
+        self._train_step = None
+        self._eval_step = None
+        self.state: Optional[TrainState] = None
+
+    # -- setup -------------------------------------------------------------
+    def init_state(self, example_batch) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        ids = jnp.asarray(example_batch["input_ids"][:1])
+        params = self.model.init(rng, ids)
+        opt_state = self.tx.init(params)
+        rep = replicated(self.mesh)
+        params, opt_state = jax.device_put((params, opt_state), rep)
+        self.state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        return self.state
+
+    def _compile(self):
+        apply_fn = self.model.apply
+        step_fn = make_train_step(
+            apply_fn, self.tx, self.ignore_index, self.cfg.accum_steps
+        )
+        self._train_step = jax.jit(step_fn, donate_argnums=0)
+        self._eval_step = jax.jit(make_eval_step(apply_fn, self.ignore_index))
+
+    # -- loop --------------------------------------------------------------
+    def fit(self, max_steps: Optional[int] = None) -> Dict[str, float]:
+        max_steps = max_steps or self.cfg.max_steps
+        if self._train_step is None:
+            self._compile()
+        os.makedirs(self.cfg.run_dir, exist_ok=True)
+
+        step = int(jax.device_get(self.state.step))
+        last_metrics: Dict[str, float] = {}
+        t0 = time.time()
+        tokens_since_log = 0
+        while step < max_steps:
+            for batch in self.train_loader:
+                batch = shard_batch(self.mesh, batch)
+                self.state, m = self._train_step(self.state, batch)
+                step += 1
+                tokens_since_log += int(np.prod(batch["input_ids"].shape))
+                if step % self.cfg.log_every == 0:
+                    m = jax.device_get(m)
+                    self.ppl.update(m["loss_sum"], m["count"])
+                    self.num_tokens.update(m["count"])
+                    dt = time.time() - t0
+                    last_metrics = {
+                        "step": step,
+                        "loss": float(m["loss"]),
+                        "acc": float(m["acc"]),
+                        "ppl": self.ppl.compute(),
+                        "grad_norm": float(m["grad_norm"]),
+                        "lr": float(self.schedule(step)),
+                        "tokens_per_sec": tokens_since_log / dt,
+                    }
+                    self.log_fn(last_metrics)
+                    t0 = time.time()
+                    tokens_since_log = 0
+                if self.eval_loader is not None and step % self.cfg.eval_every == 0:
+                    last_metrics.update(self.evaluate())
+                if step % self.cfg.checkpoint_every == 0:
+                    self.save_checkpoint()
+                if step >= max_steps:
+                    break
+        return last_metrics
+
+    def evaluate(self, max_batches: Optional[int] = None) -> Dict[str, float]:
+        if self._eval_step is None:
+            self._compile()
+        max_batches = max_batches or self.cfg.eval_batches
+        ppl = Perplexity()
+        losses, accs = [], []
+        for i, batch in enumerate(self.eval_loader):
+            if i >= max_batches:
+                break
+            batch = shard_batch(self.mesh, batch)
+            m = jax.device_get(self._eval_step(self.state.params, batch))
+            ppl.update(m["loss_sum"], m["count"])
+            losses.append(float(m["loss"]))
+            accs.append(float(m["acc"]))
+        if not losses:
+            return {}
+        out = {
+            "val/loss": float(np.mean(losses)),
+            "val/acc": float(np.mean(accs)),
+            "val/ppl": ppl.compute(),
+        }
+        self.log_fn(out)
+        return out
+
+    # -- checkpoint --------------------------------------------------------
+    def save_checkpoint(self, path: Optional[str] = None) -> str:
+        from caduceus_tpu.train.checkpoint import save_checkpoint
+
+        path = path or os.path.join(self.cfg.run_dir, "checkpoints")
+        loader_state = (
+            self.train_loader.state_dict()
+            if hasattr(self.train_loader, "state_dict")
+            else None
+        )
+        return save_checkpoint(path, self.state, loader_state)
+
+    def restore_checkpoint(self, path: Optional[str] = None) -> bool:
+        from caduceus_tpu.train.checkpoint import latest_step, restore_checkpoint
+
+        path = path or os.path.join(self.cfg.run_dir, "checkpoints")
+        if latest_step(path) is None:
+            return False
+        self.state, loader_state = restore_checkpoint(path, self.state)
+        if loader_state is not None and hasattr(self.train_loader, "load_state_dict"):
+            self.train_loader.load_state_dict(loader_state)
+        return True
