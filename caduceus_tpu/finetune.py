@@ -1,0 +1,207 @@
+"""Downstream fine-tuning: GenomicBenchmarks / NucleotideTransformer tasks.
+
+Workload parity with the reference fine-tuning path (SURVEY.md §3.2):
+- model config reconstituted from the pretraining run's `model_config.json`
+  (`train.py:182-192`);
+- pretrained backbone weights grafted, heads from scratch (`load_backbone`,
+  `src/models/sequence/dna_embedding.py:198-255`);
+- RCPS / conjoin-aware classification head with shared scorer averaged over
+  strands (`caduceus/modeling_caduceus.py:562-608`, `src/tasks/decoders.py:146-153`);
+- per-task metrics: accuracy / mcc / f1 (`src/tasks/metrics.py`);
+- multi-seed cross-validation protocol (5 or 10 seeds,
+  `slurm_scripts/run_genomics_benchmark.sh:33`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def finetune_one(
+    cfg,
+    dm,
+    num_labels: int,
+    pretrained_params=None,
+    epochs: int = 10,
+    lr: float = 1e-3,
+    weight_decay: float = 0.1,
+    pooling: str = "mean",
+    conjoin: bool = False,
+    seed: int = 0,
+    metric: str = "accuracy",
+    log_fn=None,
+) -> Dict[str, float]:
+    """Train one classification run; returns best-val and test metrics."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from caduceus_tpu.models.caduceus import CaduceusForSequenceClassification
+    from caduceus_tpu.train.checkpoint import load_backbone
+    from caduceus_tpu.train.metrics import f1 as f1_fn, mcc as mcc_fn
+    from caduceus_tpu.train.optim import make_optimizer
+
+    log = log_fn or (lambda m: print(json.dumps(m)))
+    model = CaduceusForSequenceClassification(
+        cfg, num_labels=num_labels, pooling_strategy=pooling, conjoin=conjoin
+    )
+
+    example = next(dm.batches("train", seed=seed))
+    params = model.init(jax.random.PRNGKey(seed), jnp.asarray(example["input_ids"]))
+    if pretrained_params is not None:
+        params = load_backbone(pretrained_params, params)
+
+    steps_per_epoch = max(1, len(dm.train_ds) // dm.batch_size)
+    total = steps_per_epoch * epochs
+    tx, _ = make_optimizer(
+        lr=lr, weight_decay=weight_decay, betas=(0.9, 0.999),
+        warmup_t=max(1, total // 10), t_initial=total, lr_min=lr * 0.01,
+    )
+    opt_state = tx.init(params)
+
+    def loss_fn(p, ids, labels):
+        logits = model.apply(p, ids)
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        return loss, logits
+
+    @jax.jit
+    def train_step(p, o, ids, labels):
+        (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(p, ids, labels)
+        updates, o = tx.update(g, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    @jax.jit
+    def predict(p, ids):
+        return jnp.argmax(model.apply(p, ids), axis=-1)
+
+    def eval_split(p, split):
+        preds, labels = [], []
+        for batch in dm.batches(split, shuffle=False, drop_last=False):
+            preds.append(np.asarray(predict(p, jnp.asarray(batch["input_ids"]))))
+            labels.append(batch["labels"])
+        preds = np.concatenate(preds)
+        labels = np.concatenate(labels)
+        out = {"accuracy": float((preds == labels).mean())}
+        if metric == "mcc" or metric == "all":
+            out["mcc"] = mcc_fn(preds, labels)
+        if metric == "f1" or metric == "all":
+            out["f1"] = f1_fn(preds, labels,
+                              average="binary" if num_labels == 2 else "macro")
+        return out
+
+    best_val, best_params = -np.inf, params
+    for epoch in range(epochs):
+        for batch in dm.batches("train", epoch=epoch, seed=seed):
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["labels"]),
+            )
+        val = eval_split(params, "val")
+        score = val.get(metric, val["accuracy"])
+        log({"epoch": epoch, "loss": float(loss), **{f"val/{k}": v for k, v in val.items()}})
+        if score > best_val:
+            best_val, best_params = score, params
+
+    test = eval_split(best_params, "test")
+    log({f"test/{k}": v for k, v in test.items()})
+    return {"best_val": float(best_val), **{f"test_{k}": v for k, v in test.items()}}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="finetune")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--task", required=True)
+    p.add_argument("--max-length", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seeds", type=int, nargs="+", default=[0])
+    p.add_argument("--pretrained-run-dir", default=None,
+                   help="pretraining run dir (model_config.json + checkpoints)")
+    p.add_argument("--config-path", default=None)
+    p.add_argument("--pooling", default="mean")
+    p.add_argument("--conjoin-train", action="store_true")
+    p.add_argument("--conjoin-test", action="store_true")
+    p.add_argument("--rc-aug", action="store_true")
+    p.add_argument("--metric", default="all")
+    p.add_argument("--d-model", type=int, default=128)
+    p.add_argument("--n-layer", type=int, default=4)
+    p.add_argument("--no-rcps", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from caduceus_tpu.config import CaduceusConfig, SSMConfig
+    from caduceus_tpu.data.classification import ClassificationDataModule
+    from caduceus_tpu.tokenization import CharacterTokenizer
+
+    tok = CharacterTokenizer()
+    cfg_path = args.config_path or (
+        os.path.join(args.pretrained_run_dir, "model_config.json")
+        if args.pretrained_run_dir else None
+    )
+    if cfg_path and os.path.exists(cfg_path):
+        cfg = CaduceusConfig.load(cfg_path)
+        cfg.complement_map = tok.complement_map
+    else:
+        cfg = CaduceusConfig(
+            d_model=args.d_model, n_layer=args.n_layer, vocab_size=tok.vocab_size,
+            ssm_cfg=SSMConfig(), rcps=not args.no_rcps,
+            complement_map=tok.complement_map,
+        )
+
+    pretrained_params = None
+    if args.pretrained_run_dir:
+        from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
+        from caduceus_tpu.train.checkpoint import latest_step, restore_checkpoint
+        from caduceus_tpu.train.optim import make_optimizer
+        from caduceus_tpu.train.trainer import TrainState
+        import jax.numpy as jnp
+
+        ckpt_dir = os.path.join(args.pretrained_run_dir, "checkpoints")
+        if latest_step(ckpt_dir) is not None:
+            mlm = CaduceusForMaskedLM(cfg)
+            template_params = mlm.init(
+                jax.random.PRNGKey(0), np.zeros((1, 8), np.int32)
+            )
+            tx, _ = make_optimizer()
+            template = TrainState(template_params, tx.init(template_params),
+                                  jnp.zeros((), jnp.int32))
+            state, _ = restore_checkpoint(ckpt_dir, template)
+            pretrained_params = state.params
+
+    conjoin = args.conjoin_train or args.conjoin_test
+    results = []
+    for seed in args.seeds:
+        dm = ClassificationDataModule(
+            args.data_dir, args.task, max_length=args.max_length,
+            batch_size=args.batch_size, rc_aug=args.rc_aug,
+            conjoin_train=args.conjoin_train, conjoin_test=args.conjoin_test,
+            train_val_split_seed=seed, seed=seed,
+        )
+        r = finetune_one(
+            cfg, dm, dm.num_classes, pretrained_params=pretrained_params,
+            epochs=args.epochs, lr=args.lr, pooling=args.pooling,
+            conjoin=conjoin and not cfg.rcps, seed=seed, metric=args.metric,
+        )
+        r["seed"] = seed
+        results.append(r)
+        print(json.dumps(r))
+
+    summary = {
+        "task": args.task,
+        "seeds": args.seeds,
+        "mean_test_accuracy": float(np.mean([r["test_accuracy"] for r in results])),
+        "std_test_accuracy": float(np.std([r["test_accuracy"] for r in results])),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

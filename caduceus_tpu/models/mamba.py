@@ -104,6 +104,7 @@ def ssm_branch(
     d_state: int,
     reverse: bool = False,
     chunk_size: int = 256,
+    use_kernel: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
 ) -> jnp.ndarray:
     """One directional inner-SSM pass: conv → projections → selective scan.
 
@@ -122,19 +123,32 @@ def ssm_branch(
     delta_raw = dt @ dt_proj_w.astype(dt.dtype)  # (B', L, d_inner)
 
     A = -jnp.exp(A_log.astype(jnp.float32))
-    y = selective_scan(
-        xc,
-        delta_raw,
-        A,
-        B_mat,
-        C,
-        D=D,
-        z=None,
-        delta_bias=dt_proj_b,
-        delta_softplus=True,
-        reverse=reverse,
-        chunk_size=chunk_size,
-    )
+    if use_kernel.startswith("pallas"):
+        from caduceus_tpu.ops.scan_pallas import selective_scan_pallas
+
+        y = selective_scan_pallas(
+            xc, delta_raw, A, B_mat, C, D, None,
+            True,  # delta_softplus
+            reverse,
+            128,   # chunk_size
+            8,     # group_block
+            use_kernel == "pallas_interpret",
+            dt_proj_b,
+        )
+    else:
+        y = selective_scan(
+            xc,
+            delta_raw,
+            A,
+            B_mat,
+            C,
+            D=D,
+            z=None,
+            delta_bias=dt_proj_b,
+            delta_softplus=True,
+            reverse=reverse,
+            chunk_size=chunk_size,
+        )
     return y.reshape(*lead, L, d_inner)
 
 
@@ -183,6 +197,11 @@ class _DirectionParams(nn.Module):
 
     def __call__(self, x: jnp.ndarray, reverse: bool, chunk_size: int) -> jnp.ndarray:
         c = self.cfg
+        use_kernel = c.ssm_cfg.use_kernel
+        if use_kernel == "auto":
+            # the Pallas kernel targets real TPUs (backend "tpu", or "axon"
+            # in tunneled containers); interpret mode is for tests
+            use_kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
         return ssm_branch(
             x,
             self.conv_w.astype(x.dtype),
@@ -196,6 +215,7 @@ class _DirectionParams(nn.Module):
             d_state=c.ssm_cfg.d_state,
             reverse=reverse,
             chunk_size=chunk_size,
+            use_kernel=use_kernel,
         )
 
 

@@ -20,14 +20,18 @@ Two implementations:
 - :func:`selective_scan_ref` — plain ``lax.scan`` over time. O(L) sequential
   steps; the numerics oracle for everything else.
 - :func:`selective_scan` — chunked scan: ``lax.scan`` over chunks of length
-  ``chunk_size`` with a work-efficient intra-chunk parallel scan, wrapped in
+  ``chunk_size`` with an intra-chunk ``lax.associative_scan``, wrapped in
   ``jax.checkpoint`` so the backward pass recomputes intra-chunk state from
   chunk-boundary carries instead of materializing the (B, L, d, N) state
   tensor (which at L=131k would be ~4 GB/batch-row — the reason the
   reference needs a fused CUDA kernel, cf. SURVEY.md §2.3).
 
-State is carried in fp32 regardless of input dtype (parity with the CUDA
-kernel's fp32 state accumulation).
+HBM discipline (16 GB/chip on v5e): inputs stay in their storage dtype
+(bf16) in HBM; the fp32 cast happens per-chunk *inside* the checkpointed
+body, and chunk outputs are emitted back in the input dtype. ``reverse=True``
+is structural — reversed chunk order in `lax.scan` + reversed intra-chunk
+associative scan — so no flipped copies of (B, L, d) arrays ever exist.
+State is carried in fp32 (parity with the CUDA kernel's fp32 state).
 """
 
 from __future__ import annotations
@@ -40,16 +44,12 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _softplus(x):
-    return jax.nn.softplus(x)
-
-
 def _resolve_delta(delta, delta_bias, delta_softplus):
     delta = delta.astype(jnp.float32)
     if delta_bias is not None:
         delta = delta + delta_bias.astype(jnp.float32)
     if delta_softplus:
-        delta = _softplus(delta)
+        delta = jax.nn.softplus(delta)
     return delta
 
 
@@ -104,36 +104,41 @@ def selective_scan_ref(
     return y.astype(dtype)
 
 
-def _chunk_parallel_scan(a: jnp.ndarray, b: jnp.ndarray):
-    """Inclusive first-order linear-recurrence scan along axis 1.
-
-    For elementwise recurrence h[t] = a[t]*h[t-1] + b[t] (h[-1]=0), with the
-    associative combine (a2, b2)∘(a1, b1) = (a1*a2, a2*b1 + b2).
-    Returns cumulative (A[t], Bc[t]) s.t. h[t] = A[t]*h0 + Bc[t].
-    """
-
-    def combine(left, right):
-        a_l, b_l = left
-        a_r, b_r = right
-        return a_l * a_r, a_r * b_l + b_r
-
-    return lax.associative_scan(combine, (a, b), axis=1)
+def _combine(left, right):
+    """Associative combine for h' = a*h + b: right applied after left."""
+    a_l, b_l = left
+    a_r, b_r = right
+    return a_l * a_r, a_r * b_l + b_r
 
 
-def _scan_chunk(h0, chunk, A):
+def _scan_chunk(h0, chunk, A, D, delta_bias, delta_softplus, reverse, out_dtype):
     """Process one chunk. h0: (B, d, N) fp32 carry.
 
-    chunk = (u, delta, B, C) each (B, Ck, ·) fp32.
-    Returns (h_last, y_chunk).
+    chunk = (u, delta_raw, B, C[, z]) each (B, Ck, ·) in storage dtype.
+    fp32 casts happen here, inside the jax.checkpoint boundary.
+    Returns (h_out, y_chunk in out_dtype).
     """
-    u_c, d_c, B_c, C_c = chunk
+    if len(chunk) == 5:
+        u_c, draw, B_c, C_c, z_c = chunk
+    else:
+        u_c, draw, B_c, C_c = chunk
+        z_c = None
+    uf = u_c.astype(jnp.float32)
+    d_c = _resolve_delta(draw, delta_bias, delta_softplus)
+    Bf = B_c.astype(jnp.float32)
+    Cf = C_c.astype(jnp.float32)
     # decay and driving terms, (B, Ck, d, N)
     dA = jnp.exp(d_c[..., None] * A[None, None])
-    dBu = (d_c * u_c)[..., None] * B_c[:, :, None, :]
-    acc_a, acc_b = _chunk_parallel_scan(dA, dBu)
+    dBu = (d_c * uf)[..., None] * Bf[:, :, None, :]
+    acc_a, acc_b = lax.associative_scan(_combine, (dA, dBu), axis=1, reverse=reverse)
     h = acc_a * h0[:, None] + acc_b  # (B, Ck, d, N)
-    y = jnp.einsum("bldn,bln->bld", h, C_c)
-    return h[:, -1], y
+    y = jnp.einsum("bldn,bln->bld", h, Cf)
+    if D is not None:
+        y = y + uf * D.astype(jnp.float32)
+    if z_c is not None:
+        y = y * jax.nn.silu(z_c.astype(jnp.float32))
+    h_out = h[:, 0] if reverse else h[:, -1]
+    return h_out, y.astype(out_dtype)
 
 
 def selective_scan(
@@ -149,49 +154,47 @@ def selective_scan(
     reverse: bool = False,
     chunk_size: int = 256,
 ) -> jnp.ndarray:
-    """Chunked work-efficient selective scan (XLA path).
-
-    Memory-bounded: only chunk-local (B, Ck, d, N) tensors are live;
-    ``jax.checkpoint`` on the chunk body means backward recomputes them from
-    the (B, d, N) chunk-boundary carries saved by ``lax.scan``.
-    """
+    """Chunked selective scan (XLA path). See module docstring."""
     dtype = u.dtype
     Bsz, L, d = u.shape
     N = A.shape[-1]
-    delta = _resolve_delta(delta, delta_bias, delta_softplus)
-    uf = u.astype(jnp.float32)
     Af = A.astype(jnp.float32)
-    Bf = B_mat.astype(jnp.float32)
-    Cf = C.astype(jnp.float32)
-
-    if reverse:
-        uf, delta, Bf, Cf = (jnp.flip(t, axis=1) for t in (uf, delta, Bf, Cf))
 
     ck = min(chunk_size, L)
+    tensors = [u, delta, B_mat, C] + ([z] if z is not None else [])
     if L % ck != 0:
-        # pad to a chunk multiple; padded steps have delta=0 => identity decay
-        # (exp(0*A)=1) and zero drive, so they do not perturb the carry.
+        # pad to a chunk multiple with zeros. Padded steps: delta_raw = 0
+        # (softplus(0 + bias) > 0 is fine — drive is 0·u·B = 0 ... only
+        # because u is 0; decay contaminates nothing because padded steps
+        # sit strictly after (forward) / before (reverse) every real step
+        # in traversal order, and the carry INTO real steps is never
+        # post-padding: forward consumes pads last; reverse consumes pads
+        # first starting from h=0 with zero drive, leaving h=0.
         pad = ck - L % ck
-        uf, delta, Bf, Cf = (
+        tensors = [
             jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
-            for t in (uf, delta, Bf, Cf)
-        )
-    Lp = uf.shape[1]
+            for t in tensors
+        ]
+    Lp = tensors[0].shape[1]
     nc = Lp // ck
 
     def to_chunks(t):
         return jnp.moveaxis(t.reshape(Bsz, nc, ck, *t.shape[2:]), 1, 0)
 
-    xs = tuple(to_chunks(t) for t in (uf, delta, Bf, Cf))
+    xs = tuple(to_chunks(t) for t in tensors)
     h0 = jnp.zeros((Bsz, d, N), jnp.float32)
 
-    body = jax.checkpoint(functools.partial(_scan_chunk, A=Af))
-    _, ys = lax.scan(body, h0, xs)  # ys: (nc, B, Ck, d)
+    body = jax.checkpoint(
+        functools.partial(
+            _scan_chunk,
+            A=Af,
+            D=D,
+            delta_bias=delta_bias,
+            delta_softplus=delta_softplus,
+            reverse=reverse,
+            out_dtype=dtype,
+        )
+    )
+    _, ys = lax.scan(body, h0, xs, reverse=reverse)  # ys: (nc, B, Ck, d)
     y = jnp.moveaxis(ys, 0, 1).reshape(Bsz, Lp, d)[:, :L]
-    if reverse:
-        y = jnp.flip(y, axis=1)
-    if D is not None:
-        y = y + u.astype(jnp.float32) * D.astype(jnp.float32)
-    if z is not None:
-        y = y * jax.nn.silu(z.astype(jnp.float32))
-    return y.astype(dtype)
+    return y

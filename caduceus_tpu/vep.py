@@ -1,0 +1,262 @@
+"""Variant Effect Prediction (VEP) pipeline.
+
+Workload parity with the reference's standalone VEP path (SURVEY.md §3.4):
+`vep_embeddings.py` (frozen-model embedding dump at long context, DDP over
+ranks, windowed mean-pool around the variant, ref/alt concat) +
+`vep_svm.ipynb` (sklearn SVC, C grid {1,5,10}, 5 seeds, AUROC bucketed by
+distance to TSS {0-30k, 30-100k, 100k+}).
+
+Zero-egress adaptation: variants come from a local TSV
+(`chrom  pos  ref  alt  label  tss_distance`) + genome FASTA instead of the
+HF hub dataset; sharding across hosts uses `jax.process_index()` instead of
+torch.distributed ranks (`vep_embeddings.py:94,441`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+WINDOW_SIZE_BP = 1536  # `vep_embeddings.py:26`
+TSS_BUCKETS = ((0, 30_000), (30_000, 100_000), (100_000, 10**12))
+
+
+def read_variants(path: str) -> List[Dict]:
+    rows = []
+    with open(path) as f:
+        for rec in csv.reader(f, delimiter="\t"):
+            if not rec or rec[0].startswith("#"):
+                continue
+            rows.append(
+                dict(
+                    chrom=rec[0],
+                    pos=int(rec[1]),  # 0-based position of the variant base
+                    ref=rec[2],
+                    alt=rec[3],
+                    label=int(rec[4]),
+                    tss_distance=int(rec[5]) if len(rec) > 5 else 0,
+                )
+            )
+    return rows
+
+
+def variant_window(fasta, chrom: str, pos: int, seq_len: int) -> Tuple[str, int]:
+    """Sequence of `seq_len` centered on `pos`; returns (seq, variant_idx)."""
+    chrom_len = fasta.length(chrom)
+    start = pos - seq_len // 2
+    end = start + seq_len
+    if start < 0:
+        start, end = 0, seq_len
+    if end > chrom_len:
+        start, end = chrom_len - seq_len, chrom_len
+    return fasta.fetch(chrom, start, end), pos - start
+
+
+def extract_embeddings(
+    hidden: np.ndarray, variant_idx: np.ndarray, window_bp: int = WINDOW_SIZE_BP
+) -> np.ndarray:
+    """Mean over a `window_bp` window centered on the variant
+    (`vep_embeddings.py:277-311`). hidden: (B, L, d)."""
+    B, L, d = hidden.shape
+    half = window_bp // 2
+    out = np.zeros((B, d), hidden.dtype)
+    for i in range(B):
+        s = max(0, int(variant_idx[i]) - half)
+        e = min(L, int(variant_idx[i]) + half)
+        out[i] = hidden[i, s:e].mean(axis=0)
+    return out
+
+
+def dump_embeddings(
+    cfg,
+    params,
+    fasta_path: str,
+    variants_path: str,
+    out_path: str,
+    seq_len: int = 131072,
+    batch_size: int = 2,
+    rank: int = 0,
+    world_size: int = 1,
+    rcps_collapse: bool = True,
+) -> str:
+    """Frozen forward pass → per-variant (ref_emb, alt_emb) concat → npz.
+
+    For RCPS models the (B, L, 2d) output collapses to strand-mean
+    (`vep_embeddings.py:369-372`); for non-RCPS models the reference runs
+    two extra rc forwards (`:376-377`) — here controlled by the caller via
+    conjoined inputs if needed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from caduceus_tpu.data.fasta import FastaFile
+    from caduceus_tpu.models.caduceus import Caduceus
+    from caduceus_tpu.tokenization import CaduceusTokenizer
+
+    tok = CaduceusTokenizer(model_max_length=seq_len)
+    fasta = FastaFile(fasta_path)
+    variants = read_variants(variants_path)[rank::world_size]
+
+    model = Caduceus(cfg)
+
+    @jax.jit
+    def forward(ids):
+        h = model.apply(params, ids)  # (B, L, 2d) if rcps
+        if cfg.rcps and rcps_collapse:
+            d = h.shape[-1] // 2
+            h = (h[..., :d] + jnp.flip(h[..., d:], axis=(-2, -1))) / 2
+        return h
+
+    feats, labels, tss = [], [], []
+    buf_ref, buf_alt, buf_idx, buf_meta = [], [], [], []
+
+    def flush():
+        if not buf_ref:
+            return
+        ids = jnp.asarray(np.stack(buf_ref + buf_alt))
+        h = np.asarray(forward(ids), np.float32)
+        n = len(buf_ref)
+        idx = np.asarray(buf_idx + buf_idx)
+        emb = extract_embeddings(h, idx)
+        for i in range(n):
+            feats.append(np.concatenate([emb[i], emb[n + i]]))
+            labels.append(buf_meta[i][0])
+            tss.append(buf_meta[i][1])
+        buf_ref.clear(); buf_alt.clear(); buf_idx.clear(); buf_meta.clear()
+
+    for v in variants:
+        seq, vidx = variant_window(fasta, v["chrom"], v["pos"], seq_len)
+        if seq[vidx].upper() != v["ref"].upper():
+            # reference-mismatch records are skipped (reference filters N's
+            # and mismatches during dataset prep, `vep_embeddings.py:219-252`)
+            continue
+        alt_seq = seq[:vidx] + v["alt"] + seq[vidx + 1 :]
+        buf_ref.append(tok.encode(seq))
+        buf_alt.append(tok.encode(alt_seq))
+        buf_idx.append(vidx)
+        buf_meta.append((v["label"], v["tss_distance"]))
+        if len(buf_ref) == batch_size:
+            flush()
+    flush()
+
+    out_file = f"{out_path}.rank{rank}.npz"
+    np.savez(
+        out_file,
+        features=np.stack(feats) if feats else np.zeros((0, 1)),
+        labels=np.asarray(labels, np.int32),
+        tss_distance=np.asarray(tss, np.int64),
+    )
+    return out_file
+
+
+def combine_embeddings(out_path: str, world_size: int) -> str:
+    """Merge per-rank shards (`vep_embeddings.py:407-430`)."""
+    feats, labels, tss = [], [], []
+    for r in range(world_size):
+        d = np.load(f"{out_path}.rank{r}.npz")
+        if d["features"].size:
+            feats.append(d["features"])
+            labels.append(d["labels"])
+            tss.append(d["tss_distance"])
+    np.savez(
+        out_path + ".npz",
+        features=np.concatenate(feats) if feats else np.zeros((0, 1)),
+        labels=np.concatenate(labels) if labels else np.zeros(0, np.int32),
+        tss_distance=np.concatenate(tss) if tss else np.zeros(0, np.int64),
+    )
+    return out_path + ".npz"
+
+
+def svm_eval(
+    embeddings_path: str,
+    Cs=(1, 5, 10),
+    seeds=(0, 1, 2, 3, 4),
+    train_frac: float = 0.8,
+) -> Dict:
+    """SVC + AUROC by TSS-distance bucket (`vep_svm.ipynb` cells 2-14)."""
+    from sklearn.metrics import roc_auc_score
+    from sklearn.preprocessing import StandardScaler
+    from sklearn.svm import SVC
+
+    d = np.load(embeddings_path)
+    X, y, tss = d["features"], d["labels"], d["tss_distance"]
+    results = {"overall": [], "buckets": {f"{lo}-{hi}": [] for lo, hi in TSS_BUCKETS}}
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(len(y))
+        n_train = int(len(y) * train_frac)
+        tr, te = perm[:n_train], perm[n_train:]
+        if len(np.unique(y[tr])) < 2 or len(np.unique(y[te])) < 2:
+            continue
+        best_auc = -1.0
+        for C in Cs:
+            scaler = StandardScaler().fit(X[tr])
+            clf = SVC(C=C, probability=False).fit(scaler.transform(X[tr]), y[tr])
+            scores = clf.decision_function(scaler.transform(X[te]))
+            auc = roc_auc_score(y[te], scores)
+            best_auc = max(best_auc, auc)
+        results["overall"].append(best_auc)
+        for lo, hi in TSS_BUCKETS:
+            m = (np.abs(tss[te]) >= lo) & (np.abs(tss[te]) < hi)
+            if m.sum() > 1 and len(np.unique(y[te][m])) == 2:
+                results["buckets"][f"{lo}-{hi}"].append(
+                    roc_auc_score(y[te][m], scores[m])
+                )
+    summary = {
+        "auroc_mean": float(np.mean(results["overall"])) if results["overall"] else None,
+        "auroc_std": float(np.std(results["overall"])) if results["overall"] else None,
+        "buckets": {
+            k: (float(np.mean(v)) if v else None) for k, v in results["buckets"].items()
+        },
+        "n": int(len(y)),
+    }
+    return summary
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="vep")
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--variants", required=True)
+    p.add_argument("--run-dir", required=True,
+                   help="pretraining run dir with model_config.json + checkpoints")
+    p.add_argument("--out", default="vep_embeddings")
+    p.add_argument("--seq-len", type=int, default=131072)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--svm", action="store_true", help="run SVM eval after dump")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from caduceus_tpu.config import CaduceusConfig
+    from caduceus_tpu.models.caduceus import Caduceus, CaduceusForMaskedLM
+    from caduceus_tpu.train.checkpoint import restore_checkpoint
+    from caduceus_tpu.train.optim import make_optimizer
+    from caduceus_tpu.train.trainer import TrainState
+    import jax.numpy as jnp
+
+    cfg = CaduceusConfig.load(os.path.join(args.run_dir, "model_config.json"))
+    mlm = CaduceusForMaskedLM(cfg)
+    template_params = mlm.init(jax.random.PRNGKey(0), np.zeros((1, 8), np.int32))
+    tx, _ = make_optimizer()
+    template = TrainState(template_params, tx.init(template_params), jnp.zeros((), jnp.int32))
+    state, _ = restore_checkpoint(os.path.join(args.run_dir, "checkpoints"), template)
+
+    rank, world = jax.process_index(), jax.process_count()
+    dump_embeddings(
+        cfg, state.params, args.fasta, args.variants, args.out,
+        seq_len=args.seq_len, batch_size=args.batch_size,
+        rank=rank, world_size=world,
+    )
+    if rank == 0:
+        path = combine_embeddings(args.out, world)
+        if args.svm:
+            print(json.dumps(svm_eval(path)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Downstream tests: classification datasets, fine-tuning loop, CNN
+baseline, VEP pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from caduceus_tpu.config import CaduceusConfig, SSMConfig
+from caduceus_tpu.data.classification import (
+    ClassificationDataModule,
+    GENOMIC_BENCHMARK_TASKS,
+    NUCLEOTIDE_TRANSFORMER_TASKS,
+    SeqClassificationDataset,
+    make_synthetic_classification_task,
+    train_val_split,
+)
+from caduceus_tpu.tokenization import CaduceusTokenizer, CharacterTokenizer
+
+
+@pytest.fixture(scope="module")
+def task_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cls")
+    return make_synthetic_classification_task(str(out), task="demo", n_train=96,
+                                              n_test=32, seq_len=64)
+
+
+def small_cfg(**kw):
+    tok = CharacterTokenizer()
+    d = dict(
+        d_model=16, n_layer=2, vocab_size=tok.vocab_size,
+        ssm_cfg=SSMConfig(d_state=4), rcps=True,
+        complement_map=tok.complement_map, dtype="float32", param_dtype="float32",
+    )
+    d.update(kw)
+    return CaduceusConfig(**d)
+
+
+def test_task_catalogs():
+    assert len(GENOMIC_BENCHMARK_TASKS) == 8
+    assert len(NUCLEOTIDE_TRANSFORMER_TASKS) == 18
+
+
+def test_train_val_split_deterministic():
+    a1, b1 = train_val_split(100, 0.1, seed=3)
+    a2, b2 = train_val_split(100, 0.1, seed=3)
+    np.testing.assert_array_equal(a1, a2)
+    assert len(b1) == 10 and len(set(a1) & set(b1)) == 0
+
+
+def test_conjoin_item_shape(task_dir):
+    dm = ClassificationDataModule(task_dir, "demo", max_length=64, batch_size=8,
+                                  conjoin_train=True)
+    x, y = dm.train_ds.get(0)
+    assert x.shape == (64, 2)
+    # second channel is the rc of the first
+    comp = dm.tokenizer.complement_array()
+    np.testing.assert_array_equal(x[:, 1], comp[x[::-1, 0]])
+
+
+def test_conjoin_test_only(task_dir):
+    dm = ClassificationDataModule(task_dir, "demo", max_length=64, batch_size=8,
+                                  conjoin_test=True)
+    # train split plain, eval conjoined (`genomic_bench_dataset.py:87`)
+    assert dm.train_ds.get(0)[0].ndim == 1
+    assert dm.test_ds.get(0)[0].ndim == 2
+
+
+def test_batches(task_dir):
+    dm = ClassificationDataModule(task_dir, "demo", max_length=64, batch_size=16)
+    batches = list(dm.batches("train"))
+    assert all(b["input_ids"].shape == (16, 64) for b in batches)
+    assert dm.num_classes == 2
+
+
+def test_finetune_learns_synthetic_task(task_dir):
+    from caduceus_tpu.finetune import finetune_one
+
+    cfg = small_cfg()
+    dm = ClassificationDataModule(task_dir, "demo", max_length=64, batch_size=16)
+    res = finetune_one(cfg, dm, num_labels=2, epochs=3, lr=2e-3,
+                       log_fn=lambda m: None)
+    # motif-planted task: anything learning at all beats 0.55
+    assert res["test_accuracy"] > 0.55, res
+
+
+def test_finetune_from_pretrained_graft(task_dir):
+    from caduceus_tpu.finetune import finetune_one
+    from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
+
+    cfg = small_cfg()
+    mlm = CaduceusForMaskedLM(cfg)
+    pre = mlm.init(jax.random.PRNGKey(7), jnp.zeros((1, 16), jnp.int32))
+    dm = ClassificationDataModule(task_dir, "demo", max_length=64, batch_size=16)
+    res = finetune_one(cfg, dm, num_labels=2, pretrained_params=pre, epochs=1,
+                       lr=1e-3, log_fn=lambda m: None)
+    assert "test_accuracy" in res
+
+
+def test_cnn_baseline(task_dir):
+    from caduceus_tpu.models.cnn import GenomicsBenchmarkCNN
+
+    model = GenomicsBenchmarkCNN(num_classes=2)
+    ids = jnp.zeros((4, 128), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    logits = model.apply(variables, ids)
+    assert logits.shape == (4, 2)
+    # batch stats update under train
+    logits2, mutated = model.apply(variables, ids, train=True,
+                                   mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+
+
+def test_vep_pipeline(tmp_path):
+    from caduceus_tpu.data.fasta import FastaFile, write_fasta
+    from caduceus_tpu.models.caduceus import Caduceus
+    from caduceus_tpu.vep import (
+        combine_embeddings,
+        dump_embeddings,
+        extract_embeddings,
+        svm_eval,
+        variant_window,
+    )
+
+    rng = np.random.default_rng(0)
+    seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 4096)])
+    fasta_path = str(tmp_path / "g.fa")
+    write_fasta(fasta_path, {"chr1": seq})
+
+    # variants TSV: half "pathogenic" (label 1)
+    vpath = str(tmp_path / "variants.tsv")
+    fa = FastaFile(fasta_path)
+    with open(vpath, "w") as f:
+        for i in range(24):
+            pos = 512 + i * 128
+            ref = seq[pos]
+            alt = {"A": "G", "C": "T", "G": "A", "T": "C"}[ref]
+            f.write(f"chr1\t{pos}\t{ref}\t{alt}\t{i % 2}\t{i * 5000}\n")
+
+    cfg = small_cfg(vocab_size=CaduceusTokenizer().vocab_size)
+    model = Caduceus(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64), jnp.int32))
+
+    out = str(tmp_path / "emb")
+    dump_embeddings(cfg, params, fasta_path, vpath, out, seq_len=256, batch_size=4)
+    path = combine_embeddings(out, 1)
+    d = np.load(path)
+    assert d["features"].shape[0] == 24
+    assert d["features"].shape[1] == 2 * cfg.d_model  # ref+alt concat of collapsed
+    res = svm_eval(path, Cs=(1,), seeds=(0, 1))
+    assert "auroc_mean" in res and res["n"] == 24
+
+    # window geometry
+    s, vi = variant_window(fa, "chr1", 10, 64)
+    assert len(s) == 64 and vi == 10
+    s, vi = variant_window(fa, "chr1", 4090, 64)
+    assert len(s) == 64 and vi == 64 - (4096 - 4090)
+
+    # extract_embeddings mean window
+    h = np.arange(2 * 10 * 3, dtype=np.float32).reshape(2, 10, 3)
+    e = extract_embeddings(h, np.array([5, 5]), window_bp=4)
+    np.testing.assert_allclose(e[0], h[0, 3:7].mean(axis=0))

@@ -1,0 +1,87 @@
+"""Pallas selective-scan kernel vs the XLA oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from caduceus_tpu.ops.scan_pallas import selective_scan_pallas
+from caduceus_tpu.ops.selective_scan import selective_scan
+
+
+def _inputs(key, G=4, L=96, d=128, N=8):
+    ks = jax.random.split(key, 7)
+    u = jax.random.normal(ks[0], (G, L, d), jnp.float32)
+    delta = jax.random.normal(ks[1], (G, L, d)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (d, N)) * 0.5)
+    B = jax.random.normal(ks[3], (G, L, N))
+    C = jax.random.normal(ks[4], (G, L, N))
+    D = jax.random.normal(ks[5], (d,))
+    dt_bias = jax.random.normal(ks[6], (d,)) * 0.1
+    return u, delta, A, B, C, D, dt_bias
+
+
+def _pallas(u, delta, A, B, C, D, z, reverse, dt_bias, chunk=32, gb=2):
+    return selective_scan_pallas(
+        u, delta, A, B, C, D, z, True, reverse, chunk, gb, True, dt_bias
+    )
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_kernel_matches_xla(reverse):
+    u, delta, A, B, C, D, dt_bias = _inputs(jax.random.PRNGKey(0))
+    got = _pallas(u, delta, A, B, C, D, None, reverse, dt_bias)
+    want = selective_scan(u, delta, A, B, C, D=D, z=None, delta_bias=dt_bias,
+                          delta_softplus=True, reverse=reverse)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_ragged_length():
+    # L=50 not a multiple of chunk 32 → padded path
+    u, delta, A, B, C, D, dt_bias = _inputs(jax.random.PRNGKey(1), L=50)
+    for reverse in (False, True):
+        got = _pallas(u, delta, A, B, C, D, None, reverse, dt_bias)
+        want = selective_scan(u, delta, A, B, C, D=D, delta_bias=dt_bias,
+                              delta_softplus=True, reverse=reverse)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_with_gate():
+    u, delta, A, B, C, D, dt_bias = _inputs(jax.random.PRNGKey(2))
+    z = jax.random.normal(jax.random.PRNGKey(3), u.shape)
+    got = _pallas(u, delta, A, B, C, D, z, False, dt_bias)
+    want = selective_scan(u, delta, A, B, C, D=D, z=z, delta_bias=dt_bias,
+                          delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_bf16_storage():
+    u, delta, A, B, C, D, dt_bias = _inputs(jax.random.PRNGKey(4))
+    ub, db = u.astype(jnp.bfloat16), delta.astype(jnp.bfloat16)
+    Bb, Cb = B.astype(jnp.bfloat16), C.astype(jnp.bfloat16)
+    got = _pallas(ub, db, A, Bb, Cb, D, None, False, dt_bias)
+    assert got.dtype == jnp.bfloat16
+    want = selective_scan(ub, db, A, Bb, Cb, D=D, delta_bias=dt_bias,
+                          delta_softplus=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=0.05, atol=0.05
+    )
+
+
+def test_kernel_grad_via_xla_recompute():
+    u, delta, A, B, C, D, dt_bias = _inputs(jax.random.PRNGKey(5), G=2, L=32, d=8, N=4)
+
+    def loss_k(args):
+        u, delta, A, B, C, D, dt_bias = args
+        return jnp.sum(jnp.square(_pallas(u, delta, A, B, C, D, None, False, dt_bias)))
+
+    def loss_x(args):
+        u, delta, A, B, C, D, dt_bias = args
+        return jnp.sum(jnp.square(selective_scan(
+            u, delta, A, B, C, D=D, delta_bias=dt_bias, delta_softplus=True)))
+
+    args = (u, delta, A, B, C, D, dt_bias)
+    g1 = jax.grad(loss_k)(args)
+    g2 = jax.grad(loss_x)(args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
