@@ -5,15 +5,19 @@ Prints ONE JSON line:
 
 North star (BASELINE.json): tokens/sec/chip at 131k-seqlen MLM pretrain.
 Paper-scale model: d_model 256, n_layer 16 (released checkpoints,
-`README.md:15-22`); per-device batch x seqlen = 2^20 tokens
-(`slurm_scripts/run_pretrain_caduceus.sh:32`). The sequence length is
-scaled down if the chip's HBM cannot fit the full 131k training step; the
-tokens/step invariant (batch x seqlen) is preserved.
+`README.md:15-22`); 2^20 tokens per optimizer step
+(`slurm_scripts/run_pretrain_caduceus.sh:32`). On a single 16 GB v5e chip the
+2^20 tokens are split into gradient-accumulation microbatches
+(BENCH_MICRO_TOKENS per microbatch); tokens/s/chip is unaffected by the
+split. residual_in_fp32=False matches the reference experiment config
+(`configs/model/caduceus.yaml:24`).
+
+Env knobs: BENCH_SEQLEN (131072), BENCH_NLAYER (16), BENCH_STEPS (5),
+BENCH_MICRO_TOKENS (262144), BENCH_KERNEL (auto|pallas|xla).
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -29,53 +33,66 @@ def main():
     from caduceus_tpu.train.optim import make_optimizer
     from caduceus_tpu.train.trainer import TrainState, make_train_step
 
-    seqlen = int(os.environ.get("BENCH_SEQLEN", 65536))
+    seqlen = int(os.environ.get("BENCH_SEQLEN", 131072))
     tokens_per_step = 1 << 20
-    batch = max(1, tokens_per_step // seqlen)
+    micro_tokens = int(os.environ.get("BENCH_MICRO_TOKENS", 1 << 18))
+    micro_tokens = min(micro_tokens, tokens_per_step)
+    micro_batch = max(1, micro_tokens // seqlen)
+    accum = max(1, tokens_per_step // (micro_batch * seqlen))
     n_layer = int(os.environ.get("BENCH_NLAYER", 16))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
+    steps = int(os.environ.get("BENCH_STEPS", 5))
+    kernel = os.environ.get("BENCH_KERNEL", "auto")
 
     tok = CaduceusTokenizer()
     cfg = CaduceusConfig(
         d_model=256,
         n_layer=n_layer,
         vocab_size=tok.vocab_size,
-        ssm_cfg=SSMConfig(),
+        ssm_cfg=SSMConfig(use_kernel=kernel),
         rcps=True,
         complement_map=tok.complement_map,
         dtype="bfloat16",
+        residual_in_fp32=False,
         remat=True,
     )
     model = CaduceusForMaskedLM(cfg)
 
     rng = np.random.default_rng(0)
+    total_rows = micro_batch * accum
     host_batch = {
-        "input_ids": rng.integers(7, 11, (batch, seqlen), dtype=np.int32),
-        "targets": rng.integers(0, 12, (batch, seqlen), dtype=np.int32),
+        "input_ids": rng.integers(7, 11, (total_rows, seqlen), dtype=np.int32),
+        "targets": rng.integers(0, 12, (total_rows, seqlen), dtype=np.int32),
     }
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), host_batch["input_ids"][:1, :256])
     tx, _ = make_optimizer(lr=8e-3, warmup_t=100, t_initial=50_000)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    step_fn = jax.jit(make_train_step(model.apply, tx, ignore_index=4), donate_argnums=0)
+    step_fn = jax.jit(
+        make_train_step(model.apply, tx, ignore_index=4, accum_steps=accum),
+        donate_argnums=0,
+    )
 
     dev_batch = jax.device_put(host_batch)
-    # warmup / compile
+    # warmup / compile. NOTE: through the axon tunnel, block_until_ready
+    # does not actually wait for remote execution — device_get does.
     state, m = step_fn(state, dev_batch)
-    jax.block_until_ready(m["loss"])
+    float(jax.device_get(m["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step_fn(state, dev_batch)
-    jax.block_until_ready(m["loss"])
+    float(jax.device_get(m["loss"]))
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
-    tokens_per_sec_chip = steps * batch * seqlen / dt / n_chips
+    tokens_per_sec_chip = steps * total_rows * seqlen / dt / n_chips
     result = {
         "metric": "tokens_per_sec_per_chip_mlm_pretrain",
         "value": round(tokens_per_sec_chip, 1),
-        "unit": f"tokens/s/chip (seqlen={seqlen}, d_model=256, n_layer={n_layer}, rcps)",
+        "unit": (
+            f"tokens/s/chip (seqlen={seqlen}, d_model=256, n_layer={n_layer}, "
+            f"rcps, micro_batch={micro_batch}, accum={accum}, kernel={kernel})"
+        ),
         "vs_baseline": None,
     }
     print(json.dumps(result))

@@ -46,13 +46,13 @@ def _scan_kernel(
     delta_softplus: bool,
     has_z: bool,
 ):
-    # refs: u, delta, B, C, A, D, bias, [z], y_out, h, delta_s, du_s
+    # refs: u, delta, B, C, A, D, bias, [z], y_out, then scratches
     if has_z:
         (u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, z_ref,
-         y_ref, h_scratch, dA_scratch, du_scratch) = refs
+         y_ref, h_scratch, delta_s, du_s, bc_s, y_s) = refs
     else:
         (u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref,
-         y_ref, h_scratch, dA_scratch, du_scratch) = refs
+         y_ref, h_scratch, delta_s, du_s, bc_s, y_s) = refs
         z_ref = None
     ci = pl.program_id(1)
 
@@ -60,39 +60,41 @@ def _scan_kernel(
     def _():
         h_scratch[...] = jnp.zeros_like(h_scratch)
 
-    # chunk-wide precompute (big vectorized VPU ops, done once per chunk):
-    # delta -> (softplus) -> store delta and delta*u into scratch so the
-    # sequential loop can DYNAMICALLY slice refs (Pallas TPU cannot
-    # dynamic_slice register values, only refs).
+    # Chunk-wide precompute (one big vectorized pass): upcast every input to
+    # fp32 SCRATCH so the sequential loop only ever dynamic-slices fp32
+    # refs (Pallas TPU cannot dynamic_slice register values, and sub-tile
+    # dynamic slicing of bf16 refs is fragile in Mosaic).
     u = u_ref[...].astype(jnp.float32)          # (Gb, T, d)
     delta = delta_ref[...].astype(jnp.float32)
     delta = delta + bias_ref[0][None, None, :]
     if delta_softplus:
         delta = jax.nn.softplus(delta)
-    dA_scratch[...] = delta
-    du_scratch[...] = delta * u
+    delta_s[...] = delta
+    du_s[...] = delta * u
+    bc_s[:, 0] = B_ref[...].astype(jnp.float32)  # (Gb, T, N)
+    bc_s[:, 1] = C_ref[...].astype(jnp.float32)
     A = A_ref[...]                               # (N, d)
-    Dv = D_ref[0]                                # (d,)
 
     def step(k, h):
         t = (T - 1 - k) if reverse else k
-        d_t = dA_scratch[:, pl.ds(t, 1), :][:, 0, :]   # (Gb, d)
+        d_t = delta_s[:, pl.ds(t, 1), :][:, 0, :]      # (Gb, d)
         dA = jnp.exp(d_t[:, None, :] * A[None])        # (Gb, N, d)
-        B_t = B_ref[:, pl.ds(t, 1), :].astype(jnp.float32)[:, 0, :]  # (Gb, N)
-        du_t = du_scratch[:, pl.ds(t, 1), :][:, 0, :]  # (Gb, d)
+        B_t = bc_s[:, 0, pl.ds(t, 1), :][:, 0, :]      # (Gb, N)
+        du_t = du_s[:, pl.ds(t, 1), :][:, 0, :]        # (Gb, d)
         h = dA * h + B_t[..., None] * du_t[:, None, :]
-        C_t = C_ref[:, pl.ds(t, 1), :].astype(jnp.float32)[:, 0, :]
-        y_t = jnp.sum(C_t[..., None] * h, axis=1)      # (Gb, d)
-        u_t = u_ref[:, pl.ds(t, 1), :].astype(jnp.float32)[:, 0, :]
-        y_t = y_t + Dv[None, :] * u_t
-        if has_z:
-            z_t = z_ref[:, pl.ds(t, 1), :].astype(jnp.float32)[:, 0, :]
-            y_t = y_t * (z_t * jax.lax.logistic(z_t))
-        y_ref[:, pl.ds(t, 1), :] = y_t[:, None, :].astype(y_ref.dtype)
+        C_t = bc_s[:, 1, pl.ds(t, 1), :][:, 0, :]
+        y_s[:, pl.ds(t, 1), :] = jnp.sum(C_t[..., None] * h, axis=1)[:, None, :]
         return h
 
     h = jax.lax.fori_loop(0, T, step, h_scratch[...])
     h_scratch[...] = h
+
+    # epilogue: D·u residual and SiLU(z) gate as chunk-wide vector ops
+    y = y_s[...] + D_ref[0][None, None, :] * u
+    if has_z:
+        z = z_ref[...].astype(jnp.float32)
+        y = y * (z * jax.lax.logistic(z))
+    y_ref[...] = y.astype(y_ref.dtype)
 
 
 def selective_scan_pallas_fwd_impl(
@@ -119,7 +121,9 @@ def selective_scan_pallas_fwd_impl(
     # and the h carry. Keep the total under ~8 MB (16 MB/core VMEM).
     def vmem_bytes(gb, t):
         per = gb * t * d * 4
-        return per * (2 * (2 + has_z) + 2 + 2) + gb * N * d * 4
+        # double-buffered ins (u, delta, z) + out (y) + fp32 scratches
+        # (delta, du, y_core) + h carry + B/C scratch
+        return per * (2 * (2 + has_z) + 2 + 3) + gb * N * d * 4 + gb * 2 * t * N * 4
 
     Gb = min(group_block, G)
     while G % Gb != 0:
@@ -191,9 +195,11 @@ def selective_scan_pallas_fwd_impl(
         out_specs=gd_spec,
         out_shape=jax.ShapeDtypeStruct((G, Lp, d), u.dtype),
         scratch_shapes=[
-            pltpu.VMEM((Gb, N, d), jnp.float32),   # h carry
-            pltpu.VMEM((Gb, T, d), jnp.float32),   # resolved delta
-            pltpu.VMEM((Gb, T, d), jnp.float32),   # delta * u
+            pltpu.VMEM((Gb, N, d), jnp.float32),     # h carry
+            pltpu.VMEM((Gb, T, d), jnp.float32),     # resolved delta
+            pltpu.VMEM((Gb, T, d), jnp.float32),     # delta * u
+            pltpu.VMEM((Gb, 2, T, N), jnp.float32),  # B and C upcast
+            pltpu.VMEM((Gb, T, d), jnp.float32),     # y core (pre-epilogue)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
