@@ -1,29 +1,44 @@
-"""Pallas TPU kernel for the selective scan.
+"""Pallas TPU kernels for the selective scan (forward + backward).
 
 TPU-native replacement for the reference's fused CUDA ``selective_scan_fwd``
-(mamba-ssm 1.2.0, SURVEY.md §2.3): the recurrence runs entirely in VMEM with
-the (N, d) state held in a scratch register file across sequence chunks —
-the (B, L, d, N) decay/drive tensors are never materialized in HBM.
+/ ``selective_scan_bwd`` (mamba-ssm 1.2.0, SURVEY.md §2.3): the recurrence
+runs entirely in VMEM with the (N, d) state held in scratch across sequence
+chunks — the (B, L, d, N) decay/drive tensors are never materialized in HBM.
 
 Layout (TPU-first):
-- activations are (G, L, d) with the channel axis on lanes (d = multiple of
-  128); G = batch × strands (RCPS folds both strands into G);
+- activations are (G, L, d) with the channel axis on lanes (d ideally a
+  multiple of 128); G = batch × strands (RCPS folds both strands into G);
 - the state is (G_blk, N, d): N on sublanes, d on lanes — the per-timestep
   update is a handful of fused VPU ops on contiguous registers;
 - A is passed transposed as (N, d);
-- grid = (G / G_blk, L / T): chunk axis iterates sequentially (TPU grid
-  order), carrying state in VMEM scratch; the state resets when the chunk
-  index returns to 0 for the next group block.
+- grid = (G / G_blk, L / T): the chunk axis iterates sequentially (TPU grid
+  order), carrying state in VMEM scratch; state resets when the chunk index
+  returns to 0 for the next group block;
+- per-step dynamic slicing touches only fp32 scratch (Mosaic rejects
+  sublane-unaligned dynamic access on bf16 refs), so bf16 inputs are
+  upcast chunk-wide into scratch first.
 
 ``reverse=True`` runs the scan right-to-left via reversed chunk index_maps
-plus in-kernel time reversal — no flipped copies of the inputs exist
-anywhere (cf. `BiMambaWrapper.forward`'s x.flip(1),
+plus in-kernel index mirroring — no flipped copies of the inputs exist
+anywhere (cf. ``BiMambaWrapper.forward``'s x.flip(1),
 `caduceus/modeling_caduceus.py:128-133`).
 
-The public wrapper :func:`selective_scan_pallas` is a ``jax.custom_vjp``:
-forward = this kernel; backward = recompute via the XLA chunked scan
-(`selective_scan`), giving kernel-speed inference/forward immediately while
-the dedicated backward kernel lands later.
+Backward: the recurrence's adjoint is itself a first-order reverse-time
+scan. The forward kernel saves the chunk-entry states h0 (G, nc, N, d); the
+backward kernel re-runs each chunk forward from its h0 (storing h and the
+decay dA in scratch), then sweeps backward computing
+
+    lam[t] = C[t] (x) g_y[t] + dA[t+1] * lam[t+1]
+    g_C[t,n]   = sum_d g_y[t,d] h[t,d,n]
+    g_B[t,n]   = sum_d lam[t,d,n] du[t,d]
+    g_u[t,d]   = D g_y + delta * sum_n lam B
+    g_delta[t] = sum_n lam*dA*A*h[t-1] + u * sum_n lam B   (then softplus chain)
+    g_A, g_D, g_bias accumulated across the whole grid in scratch.
+
+The public wrapper :func:`selective_scan_pallas` is a ``jax.custom_vjp``
+using both kernels; when a gate z is fused the XLA-recompute backward is
+used instead (the model gates outside the scan, so training hits the kernel
+path).
 """
 
 from __future__ import annotations
@@ -38,32 +53,45 @@ from jax.experimental.pallas import tpu as pltpu
 
 from caduceus_tpu.ops.selective_scan import selective_scan
 
+_VMEM_BUDGET = 8 * 1024 * 1024
 
-def _scan_kernel(
+
+# ===========================================================================
+# Forward kernel
+# ===========================================================================
+
+def _fwd_kernel(
     *refs,
     T: int,
     reverse: bool,
     delta_softplus: bool,
     has_z: bool,
+    save_carries: bool,
 ):
-    # refs: u, delta, B, C, A, D, bias, [z], y_out, then scratches
+    # inputs: u, delta, B, C, A, D, bias, [z]
+    # outputs: y, [carries]; scratches: h, delta_s, du_s, bc_s, y_s
+    n_in = 7 + int(has_z)
+    ins, rest = refs[:n_in], refs[n_in:]
     if has_z:
-        (u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, z_ref,
-         y_ref, h_scratch, delta_s, du_s, bc_s, y_s) = refs
+        u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, z_ref = ins
     else:
-        (u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref,
-         y_ref, h_scratch, delta_s, du_s, bc_s, y_s) = refs
+        u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref = ins
         z_ref = None
+    if save_carries:
+        y_ref, car_ref = rest[:2]
+        h_scratch, delta_s, du_s, bc_s, y_s = rest[2:]
+    else:
+        y_ref = rest[0]
+        h_scratch, delta_s, du_s, bc_s, y_s = rest[1:]
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
     def _():
         h_scratch[...] = jnp.zeros_like(h_scratch)
 
-    # Chunk-wide precompute (one big vectorized pass): upcast every input to
-    # fp32 SCRATCH so the sequential loop only ever dynamic-slices fp32
-    # refs (Pallas TPU cannot dynamic_slice register values, and sub-tile
-    # dynamic slicing of bf16 refs is fragile in Mosaic).
+    if save_carries:
+        car_ref[:, 0] = h_scratch[...]
+
     u = u_ref[...].astype(jnp.float32)          # (Gb, T, d)
     delta = delta_ref[...].astype(jnp.float32)
     delta = delta + bias_ref[0][None, None, :]
@@ -89,12 +117,36 @@ def _scan_kernel(
     h = jax.lax.fori_loop(0, T, step, h_scratch[...])
     h_scratch[...] = h
 
-    # epilogue: D·u residual and SiLU(z) gate as chunk-wide vector ops
     y = y_s[...] + D_ref[0][None, None, :] * u
     if has_z:
         z = z_ref[...].astype(jnp.float32)
         y = y * (z * jax.lax.logistic(z))
     y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _choose_blocks(G, T, d, N, has_z, n_big_stream):
+    """Pick (Gb, T) under the VMEM budget.
+
+    n_big_stream: count of double-buffered (Gb, T, d)-sized HBM streams plus
+    fp32 (Gb, T, d) scratches, used as the sizing proxy.
+    """
+    Gb = min(8, G)
+    while G % Gb != 0:
+        Gb -= 1
+
+    def bytes_for(gb, t):
+        return gb * t * d * 4 * n_big_stream + gb * N * d * 4 * 2
+
+    while bytes_for(Gb, T) > _VMEM_BUDGET:
+        if T > 32:
+            T //= 2
+        elif Gb > 1:
+            Gb = max(1, Gb // 2)
+            while G % Gb != 0:
+                Gb -= 1
+        else:
+            break
+    return Gb, max(T, 8)
 
 
 def selective_scan_pallas_fwd_impl(
@@ -111,48 +163,30 @@ def selective_scan_pallas_fwd_impl(
     chunk_size: int = 128,
     group_block: int = 8,
     interpret: bool = False,
-) -> jnp.ndarray:
+    save_carries: bool = False,
+):
     G, L, d = u.shape
     N = A.shape[-1]
-    T = min(chunk_size, L)
     has_z = z is not None
-    # VMEM budget: u/delta(/z) input blocks and the y output block are
-    # double-buffered by the pipeline; plus the delta/du precompute scratch
-    # and the h carry. Keep the total under ~8 MB (16 MB/core VMEM).
-    def vmem_bytes(gb, t):
-        per = gb * t * d * 4
-        # double-buffered ins (u, delta, z) + out (y) + fp32 scratches
-        # (delta, du, y_core) + h carry + B/C scratch
-        return per * (2 * (2 + has_z) + 2 + 3) + gb * N * d * 4 + gb * 2 * t * N * 4
-
-    Gb = min(group_block, G)
+    # streams: in u/delta(/z) x2 dbuf, out y x2, scratches delta/du/y_core
+    Gb, T = _choose_blocks(
+        G, min(chunk_size, L), d, N, has_z, 2 * (2 + has_z) + 2 + 3
+    )
+    Gb = min(Gb, group_block) if group_block else Gb
     while G % Gb != 0:
         Gb -= 1
-    while vmem_bytes(Gb, T) > 8 * 1024 * 1024:
-        if T > 32:
-            T //= 2
-        elif Gb > 1:
-            Gb = max(1, Gb // 2)
-            while G % Gb != 0:
-                Gb -= 1
-        else:
-            break
-    T = max(T, 1)
-    # pad L to a multiple of T with zeros: delta=0 (pre-softplus -> softplus
-    # gives ~0.69 decay exp(0.69*A)<1 which is harmless only if drive is 0 —
-    # but y at padded positions is discarded and padded steps sit at the END
-    # of the forward traversal / START handled by reversed index maps, so
-    # they never contaminate real positions in forward order. For reverse we
-    # must ensure padded steps are traversed FIRST with zero drive: zero
-    # drive + any decay of a zero state stays zero. h starts at 0, so both
-    # directions are safe.
+
+    tensors = [u, delta, B_mat, C] + ([z] if has_z else [])
     if L % T != 0:
+        # zero padding: padded steps have zero drive and their outputs are
+        # discarded; in traversal order they sit strictly after (forward) /
+        # before-with-zero-state (reverse) every real step.
         pad = T - L % T
-        padcfg = lambda t: jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
-        u, delta, B_mat, C = padcfg(u), padcfg(delta), padcfg(B_mat), padcfg(C)
-        if z is not None:
-            z = padcfg(z)
-    Lp = u.shape[1]
+        tensors = [
+            jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
+            for t in tensors
+        ]
+    Lp = tensors[0].shape[1]
     nc = Lp // T
 
     A_T = jnp.asarray(A, jnp.float32).T.reshape(N, d)
@@ -171,29 +205,36 @@ def selective_scan_pallas_fwd_impl(
     gn_spec = pl.BlockSpec((Gb, T, N), cmap, memory_space=pltpu.VMEM)
 
     in_specs = [
-        gd_spec,  # u
-        gd_spec,  # delta
-        gn_spec,  # B
-        gn_spec,  # C
+        gd_spec, gd_spec, gn_spec, gn_spec,
         pl.BlockSpec((N, d), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
     ]
-    inputs = [u, delta, B_mat, C, A_T, D_in, bias_in]
+    inputs = tensors[:4] + [A_T, D_in, bias_in]
     if has_z:
         in_specs.append(gd_spec)
-        inputs.append(z)
+        inputs.append(tensors[4])
+
+    out_shape = [jax.ShapeDtypeStruct((G, Lp, d), u.dtype)]
+    out_specs = [gd_spec]
+    if save_carries:
+        # chunk-entry states; scan-order chunk i lives at slot i
+        car_map = (lambda g, i: (g, i, 0, 0))
+        out_shape.append(jax.ShapeDtypeStruct((G, nc, N, d), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((Gb, 1, N, d), car_map, memory_space=pltpu.VMEM)
+        )
 
     kernel = functools.partial(
-        _scan_kernel, T=T, reverse=reverse,
-        delta_softplus=delta_softplus, has_z=has_z,
+        _fwd_kernel, T=T, reverse=reverse,
+        delta_softplus=delta_softplus, has_z=has_z, save_carries=save_carries,
     )
-    y = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(G // Gb, nc),
         in_specs=in_specs,
-        out_specs=gd_spec,
-        out_shape=jax.ShapeDtypeStruct((G, Lp, d), u.dtype),
+        out_specs=tuple(out_specs) if save_carries else out_specs[0],
+        out_shape=tuple(out_shape) if save_carries else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((Gb, N, d), jnp.float32),     # h carry
             pltpu.VMEM((Gb, T, d), jnp.float32),     # resolved delta
@@ -206,8 +247,262 @@ def selective_scan_pallas_fwd_impl(
         ),
         interpret=interpret,
     )(*inputs)
-    return y[:, :L]
+    if save_carries:
+        y, carries = out
+        return y[:, :L], carries, T
+    return out[:, :L]
 
+
+# ===========================================================================
+# Backward kernel
+# ===========================================================================
+
+def _bwd_kernel(
+    u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, gy_ref, car_ref,
+    gu_ref, gdelta_ref, gB_ref, gC_ref, gA_ref, gD_ref, gbias_ref,
+    lam_s, h_s, dA_s, delta_s, du_s, bc_s, u_s, gy_s, gu_s, gdelta_s, gbc_s,
+    acc_s,
+    *,
+    T: int,
+    reverse: bool,
+    delta_softplus: bool,
+):
+    gi = pl.program_id(0)
+    ci = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(gi == 0, ci == 0))
+    def _():
+        acc_s[...] = jnp.zeros_like(acc_s)  # (2+N, d): [g_D; g_bias; g_A]
+
+    @pl.when(ci == 0)
+    def _():
+        lam_s[...] = jnp.zeros_like(lam_s)  # adjoint carry, (Gb, N, d)
+
+    A = A_ref[...]  # (N, d)
+    h0 = car_ref[:, 0]  # (Gb, N, d) — state entering this chunk (scan order)
+
+    # ---- phase 0: chunk-wide upcasts ----
+    u = u_ref[...].astype(jnp.float32)
+    u_s[...] = u
+    delta = delta_ref[...].astype(jnp.float32) + bias_ref[0][None, None, :]
+    if delta_softplus:
+        delta = jax.nn.softplus(delta)
+    delta_s[...] = delta
+    du_s[...] = delta * u
+    bc_s[:, 0] = B_ref[...].astype(jnp.float32)
+    bc_s[:, 1] = C_ref[...].astype(jnp.float32)
+    gy_s[...] = gy_ref[...].astype(jnp.float32)
+
+    # ---- phase 1: forward recompute of h and dA over the chunk ----
+    def fstep(k, h):
+        t = (T - 1 - k) if reverse else k
+        d_t = delta_s[:, pl.ds(t, 1), :][:, 0, :]
+        dA = jnp.exp(d_t[:, None, :] * A[None])
+        B_t = bc_s[:, 0, pl.ds(t, 1), :][:, 0, :]
+        du_t = du_s[:, pl.ds(t, 1), :][:, 0, :]
+        h = dA * h + B_t[..., None] * du_t[:, None, :]
+        h_s[:, pl.ds(t, 1)] = h[:, None].astype(h_s.dtype)
+        dA_s[:, pl.ds(t, 1)] = dA[:, None].astype(dA_s.dtype)
+        return h
+
+    jax.lax.fori_loop(0, T, fstep, h0)
+
+    # ---- phase 2: reverse sweep computing gradients ----
+    def bstep(k, carry):
+        lam, gD_acc, gbias_acc, gA_acc = carry
+        # scan-order index o runs T-1 .. 0; array index t mirrors for reverse
+        o = T - 1 - k
+        t = (T - 1 - o) if reverse else o
+        t_prev = (T - 1 - (o - 1)) if reverse else (o - 1)
+
+        gy_t = gy_s[:, pl.ds(t, 1), :][:, 0, :]              # (Gb, d)
+        C_t = bc_s[:, 1, pl.ds(t, 1), :][:, 0, :]            # (Gb, N)
+        h_t = h_s[:, pl.ds(t, 1)][:, 0].astype(jnp.float32)  # (Gb, N, d)
+        dA_t = dA_s[:, pl.ds(t, 1)][:, 0].astype(jnp.float32)
+        B_t = bc_s[:, 0, pl.ds(t, 1), :][:, 0, :]
+        du_t = du_s[:, pl.ds(t, 1), :][:, 0, :]
+        d_t = delta_s[:, pl.ds(t, 1), :][:, 0, :]
+        u_t = u_s[:, pl.ds(t, 1), :][:, 0, :]
+
+        lam_inc = lam + C_t[..., None] * gy_t[:, None, :]    # (Gb, N, d)
+
+        # h[t-1]: previous in scan order; chunk entry state at o == 0
+        tp = jnp.clip(t_prev, 0, T - 1)
+        h_prev_mem = h_s[:, pl.ds(tp, 1)][:, 0].astype(jnp.float32)
+        h_prev = jnp.where(o == 0, h0, h_prev_mem)
+
+        # per-position output grads
+        gC_t = jnp.sum(h_t * gy_t[:, None, :], axis=2)       # (Gb, N)
+        gB_t = jnp.sum(lam_inc * du_t[:, None, :], axis=2)   # (Gb, N)
+        g_du = jnp.sum(lam_inc * B_t[..., None], axis=1)     # (Gb, d)
+        g_dA = lam_inc * h_prev                              # (Gb, N, d)
+        g_delta = jnp.sum(g_dA * dA_t * A[None], axis=1) + u_t * g_du
+        g_u = D_ref[0][None, :] * gy_t + d_t * g_du
+        if delta_softplus:
+            # d softplus(x)/dx = sigmoid(x) = 1 - exp(-softplus(x))
+            g_delta = g_delta * (1.0 - jnp.exp(-d_t))
+
+        gu_s[:, pl.ds(t, 1), :] = g_u[:, None, :]
+        gdelta_s[:, pl.ds(t, 1), :] = g_delta[:, None, :]
+        gbc_s[:, 0, pl.ds(t, 1), :] = gB_t[:, None, :]
+        gbc_s[:, 1, pl.ds(t, 1), :] = gC_t[:, None, :]
+
+        # accumulators
+        gD_acc = gD_acc + jnp.sum(gy_t * u_t, axis=0)        # (d,)
+        gbias_acc = gbias_acc + jnp.sum(g_delta, axis=0)     # (d,)
+        gA_acc = gA_acc + jnp.sum(g_dA * dA_t * d_t[:, None, :], axis=0)  # (N, d)
+
+        lam = dA_t * lam_inc
+        return lam, gD_acc, gbias_acc, gA_acc
+
+    lam0 = lam_s[...]
+    lam, gD_acc, gbias_acc, gA_acc = jax.lax.fori_loop(
+        0, T, bstep,
+        (lam0, jnp.zeros_like(acc_s[0]), jnp.zeros_like(acc_s[1]),
+         jnp.zeros_like(acc_s[2:])),
+    )
+    lam_s[...] = lam
+    acc_s[0] = acc_s[0] + gD_acc
+    acc_s[1] = acc_s[1] + gbias_acc
+    acc_s[2:] = acc_s[2:] + gA_acc
+
+    # write chunk outputs
+    gu_ref[...] = gu_s[...].astype(gu_ref.dtype)
+    gdelta_ref[...] = gdelta_s[...].astype(gdelta_ref.dtype)
+    gB_ref[...] = gbc_s[:, 0].astype(gB_ref.dtype)
+    gC_ref[...] = gbc_s[:, 1].astype(gC_ref.dtype)
+    # global accumulators (last write wins; scratch is monotone)
+    gD_ref[...] = acc_s[0:1]
+    gbias_ref[...] = acc_s[1:2]
+    gA_ref[...] = acc_s[2:]
+
+
+def selective_scan_pallas_bwd_impl(
+    u, delta, A, B_mat, C, D, delta_bias, g_y, carries,
+    delta_softplus: bool,
+    reverse: bool,
+    T: int,
+    interpret: bool = False,
+):
+    """Returns (g_u, g_delta, g_A, g_B, g_C, g_D, g_bias)."""
+    G, L, d = u.shape
+    N = A.shape[-1]
+    nc = carries.shape[1]
+    Lp = nc * T
+
+    tensors = [u, delta, B_mat, C, g_y]
+    if L % T != 0:
+        pad = Lp - L
+        tensors = [
+            jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
+            for t in tensors
+        ]
+    u_p, delta_p, B_p, C_p, gy_p = tensors
+
+    # bwd scratch: h_s + dA_s dominate (bf16, (Gb, T, N, d))
+    Gb = min(8, G)
+    while G % Gb != 0:
+        Gb -= 1
+
+    def bwd_bytes(gb):
+        big = gb * T * d * 4
+        hda = gb * T * N * d * 2 * 2
+        return big * (2 * 4 + 2 * 2 + 6) + hda + 3 * gb * N * d * 4
+
+    while bwd_bytes(Gb) > 10 * 1024 * 1024 and Gb > 1:
+        Gb = max(1, Gb // 2)
+        while G % Gb != 0:
+            Gb -= 1
+
+    A_T = jnp.asarray(A, jnp.float32).T.reshape(N, d)
+    D_in = (jnp.zeros((1, d), jnp.float32) if D is None
+            else jnp.asarray(D, jnp.float32).reshape(1, d))
+    bias_in = (jnp.zeros((1, d), jnp.float32) if delta_bias is None
+               else jnp.asarray(delta_bias, jnp.float32).reshape(1, d))
+
+    # grid index i processes scan-order chunk j = nc-1-i (adjoint runs
+    # backward in scan time); array-position block = j for forward scans and
+    # nc-1-j (= i) for reverse scans.
+    if reverse:
+        cmap = lambda g, i: (g, i, 0)
+        car_map = lambda g, i: (g, nc - 1 - i, 0, 0)
+    else:
+        cmap = lambda g, i: (g, nc - 1 - i, 0)
+        car_map = lambda g, i: (g, nc - 1 - i, 0, 0)
+    full = lambda g, i: (0, 0)
+
+    gd_spec = pl.BlockSpec((Gb, T, d), cmap, memory_space=pltpu.VMEM)
+    gn_spec = pl.BlockSpec((Gb, T, N), cmap, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _bwd_kernel, T=T, reverse=reverse, delta_softplus=delta_softplus,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G // Gb, nc),
+        in_specs=[
+            gd_spec,  # u
+            gd_spec,  # delta
+            gn_spec,  # B
+            gn_spec,  # C
+            pl.BlockSpec((N, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            gd_spec,  # g_y
+            pl.BlockSpec((Gb, 1, N, d), car_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            gd_spec,  # g_u
+            gd_spec,  # g_delta
+            gn_spec,  # g_B
+            gn_spec,  # g_C
+            pl.BlockSpec((N, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lp, d), u.dtype),
+            jax.ShapeDtypeStruct((G, Lp, d), delta.dtype),
+            jax.ShapeDtypeStruct((G, Lp, N), B_mat.dtype),
+            jax.ShapeDtypeStruct((G, Lp, N), C.dtype),
+            jax.ShapeDtypeStruct((N, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Gb, N, d), jnp.float32),        # lam carry
+            pltpu.VMEM((Gb, T, N, d), jnp.bfloat16),    # h per step
+            pltpu.VMEM((Gb, T, N, d), jnp.bfloat16),    # dA per step
+            pltpu.VMEM((Gb, T, d), jnp.float32),        # resolved delta
+            pltpu.VMEM((Gb, T, d), jnp.float32),        # du
+            pltpu.VMEM((Gb, 2, T, N), jnp.float32),     # B, C
+            pltpu.VMEM((Gb, T, d), jnp.float32),        # u fp32
+            pltpu.VMEM((Gb, T, d), jnp.float32),        # g_y fp32
+            pltpu.VMEM((Gb, T, d), jnp.float32),        # g_u staging
+            pltpu.VMEM((Gb, T, d), jnp.float32),        # g_delta staging
+            pltpu.VMEM((Gb, 2, T, N), jnp.float32),     # g_B, g_C staging
+            pltpu.VMEM((2 + N, d), jnp.float32),        # [g_D; g_bias; g_A]
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(u_p, delta_p, B_p, C_p, A_T, D_in, bias_in, gy_p, carries)
+    g_u, g_delta, g_B, g_C, g_A_T, g_D, g_bias = outs
+    return (
+        g_u[:, :L],
+        g_delta[:, :L],
+        g_A_T.T.astype(A.dtype),
+        g_B[:, :L],
+        g_C[:, :L],
+        g_D[0],
+        g_bias[0],
+    )
+
+
+# ===========================================================================
+# custom_vjp wrapper
+# ===========================================================================
 
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
@@ -224,23 +519,52 @@ def selective_scan_pallas(
     return selective_scan_pallas_fwd_impl(
         u, delta, A, B_mat, C, D, z, delta_bias,
         delta_softplus, reverse, chunk_size, group_block, interpret,
+        save_carries=False,
     )
 
 
 def _fwd(u, delta, A, B_mat, C, D, z,
          delta_softplus, reverse, chunk_size, group_block, interpret,
          delta_bias=None):
+    if z is None:
+        y, carries, T = selective_scan_pallas_fwd_impl(
+            u, delta, A, B_mat, C, D, None, delta_bias,
+            delta_softplus, reverse, chunk_size, group_block, interpret,
+            save_carries=True,
+        )
+        return y, (u, delta, A, B_mat, C, D, z, delta_bias, carries, T)
     y = selective_scan_pallas_fwd_impl(
         u, delta, A, B_mat, C, D, z, delta_bias,
         delta_softplus, reverse, chunk_size, group_block, interpret,
+        save_carries=False,
     )
-    return y, (u, delta, A, B_mat, C, D, z, delta_bias)
+    return y, (u, delta, A, B_mat, C, D, z, delta_bias, None, 0)
 
 
 def _bwd(delta_softplus, reverse, chunk_size, group_block, interpret,
          residuals, g):
-    u, delta, A, B_mat, C, D, z, delta_bias = residuals
+    u, delta, A, B_mat, C, D, z, delta_bias, carries, T = residuals
 
+    if carries is not None:
+        g_u, g_delta, g_A, g_B, g_C, g_D, g_bias = selective_scan_pallas_bwd_impl(
+            u, delta, A, B_mat, C, D, delta_bias, g.astype(u.dtype), carries,
+            delta_softplus, reverse, T, interpret,
+        )
+        if D is None:
+            g_D = None
+        else:
+            g_D = g_D.astype(jnp.asarray(D).dtype).reshape(jnp.shape(D))
+        if delta_bias is None:
+            g_bias = None
+        else:
+            g_bias = g_bias.astype(jnp.asarray(delta_bias).dtype).reshape(
+                jnp.shape(delta_bias)
+            )
+        return (g_u.astype(u.dtype), g_delta.astype(delta.dtype), g_A,
+                g_B.astype(B_mat.dtype), g_C.astype(C.dtype), g_D, None,
+                g_bias)
+
+    # gated path: recompute via the XLA scan
     def ref_fn(u, delta, A, B_mat, C, D, z, delta_bias):
         return selective_scan(
             u, delta, A, B_mat, C, D=D, z=z, delta_bias=delta_bias,

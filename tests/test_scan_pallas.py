@@ -68,7 +68,7 @@ def test_kernel_bf16_storage():
     )
 
 
-def test_kernel_grad_via_xla_recompute():
+def test_kernel_grad_matches_xla():
     u, delta, A, B, C, D, dt_bias = _inputs(jax.random.PRNGKey(5), G=2, L=32, d=8, N=4)
 
     def loss_k(args):
@@ -84,4 +84,7 @@ def test_kernel_grad_via_xla_recompute():
     g1 = jax.grad(loss_k)(args)
     g2 = jax.grad(loss_x)(args)
     for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+        # the kernel backward stores h/dA in bf16 scratch (~0.2% rel noise)
+        scale = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
+                                   atol=5e-3)
