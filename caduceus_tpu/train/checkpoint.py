@@ -28,13 +28,20 @@ def _manager(path: str) -> ocp.CheckpointManager:
     )
 
 
+def _state_dict(state):
+    d = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    if getattr(state, "ema_params", None) is not None:
+        d["ema_params"] = state.ema_params
+    return d
+
+
 def save_checkpoint(path: str, state, loader_state: Optional[dict] = None) -> str:
     step = int(jax.device_get(state.step))
     mgr = _manager(path)
     mgr.save(
         step,
         args=ocp.args.Composite(
-            state=ocp.args.StandardSave({"params": state.params, "opt_state": state.opt_state, "step": state.step}),
+            state=ocp.args.StandardSave(_state_dict(state)),
         ),
     )
     mgr.wait_until_finished()
@@ -61,11 +68,7 @@ def restore_checkpoint(path: str, state_template) -> Tuple[Any, Optional[dict]]:
     mgr = _manager(path)
     step = mgr.latest_step()
     assert step is not None, f"no checkpoint under {path}"
-    template = {
-        "params": state_template.params,
-        "opt_state": state_template.opt_state,
-        "step": state_template.step,
-    }
+    template = _state_dict(state_template)
     restored = mgr.restore(
         step,
         args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
@@ -76,7 +79,10 @@ def restore_checkpoint(path: str, state_template) -> Tuple[Any, Optional[dict]]:
     if os.path.exists(lpath):
         with open(lpath) as f:
             loader_state = json.load(f)
-    return TrainState(restored["params"], restored["opt_state"], restored["step"]), loader_state
+    return TrainState(
+        restored["params"], restored["opt_state"], restored["step"],
+        restored.get("ema_params"),
+    ), loader_state
 
 
 def save_params(path: str, params) -> None:

@@ -68,6 +68,66 @@ def cosine_warmup_schedule(
     return schedule
 
 
+def constant_schedule(lr: float) -> optax.Schedule:
+    return lambda step: lr
+
+
+def constant_warmup_schedule(lr: float, warmup_t: int,
+                             warmup_lr_init: float = 1e-6) -> optax.Schedule:
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_lr_init + (lr - warmup_lr_init) * jnp.minimum(step, warmup_t) / jnp.maximum(warmup_t, 1)
+        return jnp.where(step < warmup_t, warm, lr)
+    return schedule
+
+
+def linear_warmup_schedule(lr: float, warmup_t: int, t_initial: int,
+                           lr_min: float = 0.0,
+                           warmup_lr_init: float = 1e-6) -> optax.Schedule:
+    """Linear warmup then linear decay to lr_min."""
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_lr_init + (lr - warmup_lr_init) * jnp.minimum(step, warmup_t) / jnp.maximum(warmup_t, 1)
+        t = jnp.clip(step - warmup_t, 0, t_initial)
+        dec = lr + (lr_min - lr) * t / jnp.maximum(t_initial, 1)
+        return jnp.where(step < warmup_t, warm, dec)
+    return schedule
+
+
+def inv_sqrt_schedule(lr: float, warmup_t: int,
+                      warmup_lr_init: float = 1e-6) -> optax.Schedule:
+    """InvSqrt (`src/utils/optim/schedulers.py`): lr * sqrt(warmup/step)."""
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_lr_init + (lr - warmup_lr_init) * jnp.minimum(step, warmup_t) / jnp.maximum(warmup_t, 1)
+        decay = lr * jnp.sqrt(jnp.maximum(warmup_t, 1) / jnp.maximum(step, jnp.maximum(warmup_t, 1)))
+        return jnp.where(step < warmup_t, warm, decay)
+    return schedule
+
+
+def multistep_schedule(lr: float, milestones, gamma: float = 0.1) -> optax.Schedule:
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        k = jnp.zeros((), jnp.float32)
+        for m in milestones:
+            k = k + (step >= m)
+        return lr * gamma**k
+    return schedule
+
+
+# name → factory, mirroring the reference scheduler registry
+# (`src/utils/registry.py:13-23`).
+SCHEDULE_REGISTRY = {
+    "constant": constant_schedule,
+    "constant_warmup": constant_warmup_schedule,
+    "linear_warmup": linear_warmup_schedule,
+    "cosine_warmup": cosine_warmup_schedule,
+    "cosine_warmup_timm": cosine_warmup_schedule,
+    "inv_sqrt": inv_sqrt_schedule,
+    "multistep": multistep_schedule,
+}
+
+
 def make_optimizer(
     lr: float = 8e-3,
     weight_decay: float = 0.1,
@@ -78,9 +138,21 @@ def make_optimizer(
     warmup_lr_init: float = 1e-6,
     gradient_clip: Optional[float] = 1.0,
     params_example: Any = None,
+    schedule_name: str = "cosine_warmup_timm",
 ):
-    """AdamW + cosine-warmup + clipping; returns (tx, schedule_fn)."""
-    schedule = cosine_warmup_schedule(lr, warmup_t, t_initial, lr_min, warmup_lr_init)
+    """AdamW + LR schedule + clipping; returns (tx, schedule_fn)."""
+    if schedule_name in ("cosine_warmup", "cosine_warmup_timm"):
+        schedule = cosine_warmup_schedule(lr, warmup_t, t_initial, lr_min, warmup_lr_init)
+    elif schedule_name == "constant":
+        schedule = constant_schedule(lr)
+    elif schedule_name == "constant_warmup":
+        schedule = constant_warmup_schedule(lr, warmup_t, warmup_lr_init)
+    elif schedule_name == "linear_warmup":
+        schedule = linear_warmup_schedule(lr, warmup_t, t_initial, lr_min, warmup_lr_init)
+    elif schedule_name == "inv_sqrt":
+        schedule = inv_sqrt_schedule(lr, warmup_t, warmup_lr_init)
+    else:
+        raise KeyError(f"unknown schedule: {schedule_name} (have {list(SCHEDULE_REGISTRY)})")
     mask = weight_decay_mask if params_example is None else weight_decay_mask(params_example)
     chain = []
     if gradient_clip is not None:

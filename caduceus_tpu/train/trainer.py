@@ -36,14 +36,13 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray  # scalar int32
-
-    def tree_flatten(self):  # pragma: no cover - registered below
-        return (self.params, self.opt_state, self.step), None
+    ema_params: Any = None  # EMA weights when enabled (reference EMA-swap
+    # validation, `train.py:438-453`)
 
 
 jax.tree_util.register_pytree_node(
     TrainState,
-    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda s: ((s.params, s.opt_state, s.step, s.ema_params), None),
     lambda _, c: TrainState(*c),
 )
 
@@ -53,6 +52,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     ignore_index: int = 4,
     accum_steps: int = 1,
+    ema_decay: float = 0.0,
 ):
     """Build the jitted train step.
 
@@ -98,7 +98,13 @@ def make_train_step(
         updates, new_opt = tx.update(g, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(g)
-        new_state = TrainState(new_params, new_opt, state.step + 1)
+        new_ema = state.ema_params
+        if ema_decay > 0.0:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.ema_params, new_params,
+            )
+        new_state = TrainState(new_params, new_opt, state.step + 1, new_ema)
         metrics = {
             "loss": loss,
             "acc": aux["acc"],
@@ -130,6 +136,8 @@ class TrainerConfig:
     eval_batches: int = 16
     checkpoint_every: int = 500
     accum_steps: int = 1
+    ema_decay: float = 0.0  # 0 disables EMA tracking
+    profile_dir: Optional[str] = None  # jax.profiler trace capture
     run_dir: str = "./outputs/run"
     seed: int = 2222
     # optimizer
@@ -190,13 +198,18 @@ class Trainer:
         opt_state = self.tx.init(params)
         rep = replicated(self.mesh)
         params, opt_state = jax.device_put((params, opt_state), rep)
-        self.state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        ema = (
+            jax.tree_util.tree_map(jnp.copy, params)
+            if self.cfg.ema_decay > 0 else None
+        )
+        self.state = TrainState(params, opt_state, jnp.zeros((), jnp.int32), ema)
         return self.state
 
     def _compile(self):
         apply_fn = self.model.apply
         step_fn = make_train_step(
-            apply_fn, self.tx, self.ignore_index, self.cfg.accum_steps
+            apply_fn, self.tx, self.ignore_index, self.cfg.accum_steps,
+            ema_decay=self.cfg.ema_decay,
         )
         self._train_step = jax.jit(step_fn, donate_argnums=0)
         self._eval_step = jax.jit(make_eval_step(apply_fn, self.ignore_index))
@@ -214,9 +227,14 @@ class Trainer:
         tokens_since_log = 0
         while step < max_steps:
             for batch in self.train_loader:
+                if self.cfg.profile_dir and step == 10:
+                    jax.profiler.start_trace(self.cfg.profile_dir)
                 batch = shard_batch(self.mesh, batch)
                 self.state, m = self._train_step(self.state, batch)
                 step += 1
+                if self.cfg.profile_dir and step == 13:
+                    jax.block_until_ready(m["loss"])
+                    jax.profiler.stop_trace()
                 tokens_since_log += int(np.prod(batch["input_ids"].shape))
                 if step % self.cfg.log_every == 0:
                     m = jax.device_get(m)
@@ -243,28 +261,38 @@ class Trainer:
                     break
         return last_metrics
 
-    def evaluate(self, max_batches: Optional[int] = None) -> Dict[str, float]:
+    def evaluate(self, max_batches: Optional[int] = None,
+                 prefix: str = "val") -> Dict[str, float]:
         if self._eval_step is None:
             self._compile()
         max_batches = max_batches or self.cfg.eval_batches
-        ppl = Perplexity()
-        losses, accs = [], []
-        for i, batch in enumerate(self.eval_loader):
-            if i >= max_batches:
-                break
-            batch = shard_batch(self.mesh, batch)
-            m = jax.device_get(self._eval_step(self.state.params, batch))
-            ppl.update(m["loss_sum"], m["count"])
-            losses.append(float(m["loss"]))
-            accs.append(float(m["acc"]))
-        if not losses:
-            return {}
-        out = {
-            "val/loss": float(np.mean(losses)),
-            "val/acc": float(np.mean(accs)),
-            "val/ppl": ppl.compute(),
-        }
-        self.log_fn(out)
+
+        def run(params, tag):
+            ppl = Perplexity()
+            losses, accs = [], []
+            for i, batch in enumerate(self.eval_loader):
+                if i >= max_batches:
+                    break
+                batch = shard_batch(self.mesh, batch)
+                m = jax.device_get(self._eval_step(params, batch))
+                ppl.update(m["loss_sum"], m["count"])
+                losses.append(float(m["loss"]))
+                accs.append(float(m["acc"]))
+            if not losses:
+                return {}
+            return {
+                f"{tag}/loss": float(np.mean(losses)),
+                f"{tag}/acc": float(np.mean(accs)),
+                f"{tag}/ppl": ppl.compute(),
+            }
+
+        out = run(self.state.params, prefix)
+        # EMA-swapped validation (reference `train.py:438-453`): duplicate
+        # metrics under a `/ema` suffix.
+        if self.state.ema_params is not None:
+            out.update(run(self.state.ema_params, f"{prefix}/ema"))
+        if out:
+            self.log_fn(out)
         return out
 
     # -- checkpoint --------------------------------------------------------

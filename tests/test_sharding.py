@@ -1,0 +1,71 @@
+"""Tensor-parallel param specs + mesh combinations on the 8-dev CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from caduceus_tpu.config import CaduceusConfig, SSMConfig
+from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
+from caduceus_tpu.parallel.mesh import make_mesh, shard_batch
+from caduceus_tpu.parallel.sharding import param_partition_specs, shard_params
+from caduceus_tpu.tokenization import CaduceusTokenizer
+from caduceus_tpu.train.optim import make_optimizer
+from caduceus_tpu.train.trainer import TrainState, make_train_step
+from jax.sharding import PartitionSpec as P
+
+
+def model_16():
+    tok = CaduceusTokenizer()
+    cfg = CaduceusConfig(
+        d_model=16, n_layer=2, vocab_size=tok.vocab_size,
+        ssm_cfg=SSMConfig(d_state=4), rcps=True,
+        complement_map=tok.complement_map, dtype="float32", param_dtype="float32",
+    )
+    return CaduceusForMaskedLM(cfg)
+
+
+def test_partition_specs_structure():
+    model = model_16()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    specs = param_partition_specs(params)
+    flat = jax.tree_util.tree_leaves_with_path(specs)
+    by_name = {"/".join(str(getattr(p, "key", p)) for p in path): s for path, s in flat}
+    hits = {n: s for n, s in by_name.items() if s != P()}
+    assert any("in_proj/kernel" in n and s == P(None, "model") for n, s in hits.items())
+    assert any("out_proj/kernel" in n and s == P("model", None) for n, s in hits.items())
+    assert any(n.endswith("A_log") for n in hits)
+    # embedding and norms stay replicated
+    assert all("embedding" not in n for n in hits)
+    assert all("norm" not in n for n in hits)
+
+
+def test_tp_step_matches_dp_step():
+    """(data=4, model=2) mesh step == single-device step numerics."""
+    assert jax.device_count() >= 8
+    model = model_16()
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": rng.integers(7, 11, (4, 16), dtype=np.int32),
+        "targets": rng.integers(7, 11, (4, 16), dtype=np.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"][:1])
+    tx, _ = make_optimizer(lr=1e-3, warmup_t=0, t_initial=10)
+    step = jax.jit(make_train_step(model.apply, tx))
+
+    mesh = make_mesh(jax.devices()[:8], model=2)
+    p_tp = shard_params(mesh, params)
+    s_tp = TrainState(p_tp, jax.jit(tx.init)(p_tp), jnp.zeros((), jnp.int32))
+    s_tp, m_tp = step(s_tp, shard_batch(mesh, batch))
+
+    s_1 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    s_1, m_1 = step(s_1, batch)
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_tp.params),
+                    jax.tree_util.tree_leaves(s_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_graft_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
