@@ -154,6 +154,17 @@ def cmd_eval(argv):
     print(json.dumps(trainer.evaluate(max_batches=args.max_batches)))
 
 
+def _maybe_init_distributed():
+    """Multi-host init (replaces SLURM srun/torchrun process launch,
+    SURVEY.md §2.5): enable with CADUCEUS_MULTIHOST=1; coordinator/process
+    env comes from the standard JAX cluster-env variables or the TPU
+    metadata. One process per host."""
+    if os.environ.get("CADUCEUS_MULTIHOST") == "1":
+        import jax
+
+        jax.distributed.initialize()
+
+
 def main():
     cmds = {
         "pretrain": cmd_pretrain,
@@ -164,6 +175,7 @@ def main():
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m caduceus_tpu.cli {{{','.join(cmds)}}} ...")
         sys.exit(2)
+    _maybe_init_distributed()
     cmds[sys.argv[1]](sys.argv[2:])
 
 

@@ -143,15 +143,51 @@ class DataLoaderIterator:
     """Batched iterator over a dataset + sampler; resumable.
 
     state = sampler state; batches are host-local (global batch is
-    ``batch_size * world_size``).
+    ``batch_size * world_size``). With ``use_native=True`` the per-item work
+    (FASTA extraction, tokenization, rc-aug, MLM) runs in the C++ worker
+    pool (caduceus_tpu/data/native.py) — the sampler/window logic is
+    unchanged, so resume state is identical (native and python loaders use
+    different RNG streams for masking, both deterministic).
     """
 
     def __init__(self, dataset: HG38Dataset, sampler: ShardedShuffleSampler,
-                 batch_size: int, drop_last: bool = True):
+                 batch_size: int, drop_last: bool = True,
+                 use_native: bool = False, n_threads: int = 8):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.drop_last = drop_last
+        self._native = None
+        if use_native:
+            from caduceus_tpu.data import native
+
+            assert native.available(), (
+                "native loader requested but native/libcaduceus_data.so is "
+                "not built (scripts/build_native.sh)"
+            )
+            nf = native.NativeFasta(dataset.fasta.path)
+            n = len(dataset)
+            geo = [dataset._window(i // dataset.shifts, i % dataset.shifts)
+                   for i in range(n)]
+            contigs = np.array([nf.index[c] for c, _, _ in geo], np.int32)
+            starts = np.array([s for _, s, _ in geo], np.int64)
+            ends = np.array([e for _, _, e in geo], np.int64)
+            if not dataset.mlm:
+                # NTP consumes seq_len+1 bases (the native path uses the
+                # next genomic base as the final target rather than SEP);
+                # windows at a chromosome end shift back by one instead.
+                lens = np.array([nf.chr_lens[c] for c, _, _ in geo], np.int64)
+                want = ends + 1
+                clamped = np.minimum(want, lens)
+                starts = starts - (want - clamped)
+                ends = clamped
+            self._native = native.NativeHG38Loader(
+                nf, contigs, starts, ends, seq_len=dataset.max_length,
+                batch_size=batch_size, mlm=dataset.mlm,
+                mlm_probability=dataset.mlm_probability,
+                rc_aug=dataset.rc_aug, seed=dataset.seed,
+                vocab_size=dataset.tokenizer.vocab_size, n_threads=n_threads,
+            )
 
     def state_dict(self) -> Dict:
         return {"sampler": self.sampler.state_dict()}
@@ -160,8 +196,17 @@ class DataLoaderIterator:
         self.sampler.load_state_dict(state["sampler"])
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        batch_x, batch_y = [], []
+        batch_idx = []
         epoch = self.sampler.epoch
+        if self._native is not None:
+            for idx in self.sampler:
+                batch_idx.append(idx)
+                if len(batch_idx) == self.batch_size:
+                    yield self._native.fill(np.asarray(batch_idx, np.int64), epoch)
+                    batch_idx = []
+            # native path requires full batches; tail dropped by contract
+            return
+        batch_x, batch_y = [], []
         for idx in self.sampler:
             x, y = self.dataset.get(idx, epoch=epoch)
             batch_x.append(x)
@@ -198,11 +243,13 @@ class HG38DataModule:
         seed: int = 0,
         rank: int = 0,
         world_size: int = 1,
+        use_native: bool = False,
     ):
         self.batch_size = batch_size
         self.seed = seed
         self.rank = rank
         self.world_size = world_size
+        self.use_native = use_native
         common = dict(
             bed_file=bed_file,
             fasta_file=fasta_file,
@@ -227,7 +274,8 @@ class HG38DataModule:
         )
 
     def train_loader(self) -> DataLoaderIterator:
-        return DataLoaderIterator(self.train_ds, self.train_sampler, self.batch_size)
+        return DataLoaderIterator(self.train_ds, self.train_sampler,
+                                  self.batch_size, use_native=self.use_native)
 
     def eval_loader(self, split: str = "valid") -> DataLoaderIterator:
         ds = self.val_ds if split == "valid" else self.test_ds

@@ -113,6 +113,7 @@ class HyenaOperator(nn.Module):
     emb_dim: int = 3
     filter_w: float = 1.0
     modulate: bool = True
+    activation: str = "id"  # post-recurrence activation (`hyena.py:323-326`)
     dtype: str = "float32"
 
     @nn.compact
@@ -160,7 +161,9 @@ class HyenaOperator(nn.Module):
             bias = bias_all[:, o]
             v = fft_conv(v, k, bias).astype(dtype)
 
-        y = v * xs[0]
+        from caduceus_tpu.models.activations import get_activation
+
+        y = get_activation(self.activation)(v * xs[0])
         return nn.Dense(d, kernel_init=torch_linear_init(d),
                         bias_init=torch_linear_init(d), dtype=dtype,
                         name="out_proj")(y)

@@ -53,7 +53,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from caduceus_tpu.ops.selective_scan import selective_scan
 
-_VMEM_BUDGET = 8 * 1024 * 1024
+import os
+
+_VMEM_BUDGET = int(os.environ.get("CADUCEUS_SCAN_VMEM_BUDGET", 8 * 1024 * 1024))
 
 
 # ===========================================================================
@@ -409,7 +411,7 @@ def selective_scan_pallas_bwd_impl(
         hda = gb * T * N * d * 2 * 2
         return big * (2 * 4 + 2 * 2 + 6) + hda + 3 * gb * N * d * 4
 
-    while bwd_bytes(Gb) > 10 * 1024 * 1024 and Gb > 1:
+    while bwd_bytes(Gb) > max(_VMEM_BUDGET, 10 * 1024 * 1024) and Gb > 1:
         Gb = max(1, Gb // 2)
         while G % Gb != 0:
             Gb -= 1

@@ -70,6 +70,48 @@ def accuracy_at_k(logits: jnp.ndarray, targets: jnp.ndarray, k: int = 5):
     return (topk == tgt[:, None]).any(axis=-1).mean()
 
 
+def last_k_ppl(logits: jnp.ndarray, targets: jnp.ndarray, k: int = 512,
+               ignore_index: int = 4):
+    """Perplexity over the last k positions of each sequence
+    (`src/tasks/metrics.py:90-119` / HG38Task custom metric)."""
+    loss, aux = cross_entropy_loss(
+        logits[..., -k:, :], targets[..., -k:], ignore_index=ignore_index
+    )
+    return jnp.exp(loss), aux
+
+
+def per_token_ppl(logits: jnp.ndarray, targets: jnp.ndarray,
+                  ignore_index: int = 4):
+    """Per-position NLL (host-side aggregation across batches gives the
+    reference's per-token-ppl curves, `src/tasks/tasks.py:282-332`)."""
+    logits = logits.astype(jnp.float32)
+    V = logits.shape[-1]
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    safe = jnp.where(targets == ignore_index, 0, targets)
+    ll = logz - jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    mask = targets != ignore_index
+    return ll * mask, mask
+
+
+def per_class_accuracy(preds: np.ndarray, targets: np.ndarray,
+                       num_classes: int) -> Dict[str, float]:
+    """Per-class accuracy aggregated correctly across batches
+    (`src/tasks/metrics.py:13-44` CorrectAggregatedMetric)."""
+    preds = np.asarray(preds).ravel()
+    targets = np.asarray(targets).ravel()
+    out = {}
+    for c in range(num_classes):
+        m = targets == c
+        out[f"acc_class_{c}"] = float((preds[m] == c).mean()) if m.any() else float("nan")
+    return out
+
+
+def roc_auc(scores: np.ndarray, targets: np.ndarray) -> float:
+    from sklearn.metrics import roc_auc_score
+
+    return float(roc_auc_score(np.asarray(targets).ravel(), np.asarray(scores).ravel()))
+
+
 def mcc(preds: np.ndarray, targets: np.ndarray) -> float:
     """Matthews correlation (host-side, sklearn-compatible)."""
     from sklearn.metrics import matthews_corrcoef
@@ -104,6 +146,26 @@ class Perplexity:
     def reset(self) -> None:
         self.loss_sum = 0.0
         self.count = 0.0
+
+
+def _acc_ii(logits, targets):
+    return accuracy(logits, targets, ignore_index=4)
+
+
+# functional metric registry (parity with `src/tasks/metrics.py:316-355`)
+output_metric_fns = {
+    "accuracy": accuracy,
+    "accuracy_ignore_index": _acc_ii,
+    "accuracy@5": lambda l, t: accuracy_at_k(l, t, 5),
+    "accuracy@10": lambda l, t: accuracy_at_k(l, t, 10),
+    "last_k_ppl": last_k_ppl,
+    "mcc": mcc,
+    "f1_binary": lambda p, t: f1(p, t, "binary"),
+    "f1_macro": lambda p, t: f1(p, t, "macro"),
+    "f1_micro": lambda p, t: f1(p, t, "micro"),
+    "roc_auc": roc_auc,
+    "per_class_accuracy": per_class_accuracy,
+}
 
 
 @dataclass
