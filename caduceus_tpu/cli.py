@@ -54,7 +54,54 @@ def _build_model_config(args, tokenizer):
     )
 
 
+def _load_preset(argv):
+    """Extract --preset <yaml> and return (defaults_dict, remaining_argv).
+
+    Presets (configs/*.yaml) mirror the reference's experiment configs;
+    explicit CLI flags override preset values.
+    """
+    if "--preset" not in argv:
+        return {}, argv
+    i = argv.index("--preset")
+    path = argv[i + 1]
+    argv = argv[:i] + argv[i + 2 :]
+    import yaml
+
+    with open(path) as f:
+        tree = yaml.safe_load(f) or {}
+    flat = {}
+    mapping = {
+        ("model", "d_model"): "d_model",
+        ("model", "n_layer"): "n_layer",
+        ("model", "dtype"): "dtype",
+        ("model", "bidirectional_strategy"): "bidirectional_strategy",
+        ("data", "max_length"): "max_length",
+        ("data", "batch_size"): "batch_size",
+        ("data", "mlm_probability"): "mlm_probability",
+        ("train", "max_steps"): "max_steps",
+        ("train", "lr"): "lr",
+        ("train", "weight_decay"): "weight_decay",
+        ("train", "seed"): "seed",
+    }
+    for (sec, key), dest in mapping.items():
+        if sec in tree and key in (tree[sec] or {}):
+            flat[dest] = tree[sec][key]
+    # boolean/flag-style settings
+    model = tree.get("model") or {}
+    data = tree.get("data") or {}
+    if model.get("rcps") is False:
+        flat["no_rcps"] = True
+    if model.get("remat"):
+        flat["remat"] = True
+    if data.get("rc_aug"):
+        flat["rc_aug"] = True
+    if data.get("mlm") is False:
+        flat["ntp"] = True
+    return flat, argv
+
+
 def cmd_pretrain(argv):
+    preset, argv = _load_preset(argv)
     p = argparse.ArgumentParser(prog="pretrain")
     p.add_argument("--fasta", required=True)
     p.add_argument("--bed", required=True)
@@ -70,7 +117,10 @@ def cmd_pretrain(argv):
     p.add_argument("--run-dir", default="./outputs/pretrain")
     p.add_argument("--seed", type=int, default=2222)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--use-native-loader", action="store_true")
+    p.add_argument("--ema-decay", type=float, default=0.0)
     _add_common_model_args(p)
+    p.set_defaults(**preset)
     args = p.parse_args(argv)
 
     import jax
@@ -90,6 +140,7 @@ def cmd_pretrain(argv):
         seed=args.seed,
         rank=jax.process_index(),
         world_size=jax.process_count(),
+        use_native=args.use_native_loader,
     )
     cfg = _build_model_config(args, dm.tokenizer)
     os.makedirs(args.run_dir, exist_ok=True)
@@ -103,11 +154,16 @@ def cmd_pretrain(argv):
         lr=args.lr,
         weight_decay=args.weight_decay,
         accum_steps=args.accum_steps,
+        ema_decay=args.ema_decay,
     )
+    from caduceus_tpu.utils.logging import make_logger, param_count
+
+    log_fn = make_logger(run_dir=args.run_dir, rank=jax.process_index())
     train_loader = dm.train_loader()
     trainer = Trainer(model, tcfg, train_loader, dm.eval_loader("valid"),
-                      ignore_index=dm.tokenizer.pad_token_id)
+                      ignore_index=dm.tokenizer.pad_token_id, log_fn=log_fn)
     trainer.init_state(next(iter(train_loader)))
+    log_fn(param_count(trainer.state.params))
     if args.resume:
         trainer.restore_checkpoint()
     metrics = trainer.fit()

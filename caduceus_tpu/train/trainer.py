@@ -259,6 +259,15 @@ class Trainer:
                     self.save_checkpoint()
                 if step >= max_steps:
                     break
+        if not last_metrics and "m" in dir():
+            m = jax.device_get(m)
+            last_metrics = {
+                "step": step,
+                "loss": float(m["loss"]),
+                "acc": float(m["acc"]),
+                "grad_norm": float(m["grad_norm"]),
+            }
+            self.log_fn(last_metrics)
         return last_metrics
 
     def evaluate(self, max_batches: Optional[int] = None,
