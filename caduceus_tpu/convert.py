@@ -1,0 +1,153 @@
+"""Reference (HF/torch) checkpoint import/export.
+
+Maps the reference's `CaduceusForMaskedLM` state dict (param names from
+`caduceus/modeling_caduceus.py` / `modeling_rcps.py` + mamba-ssm's `Mamba`)
+to this framework's param tree and back, enabling *exact* forward-pass
+parity testing against released checkpoints (SURVEY.md §7.1: checkpoint
+import for parity) and migration of pretrained weights.
+
+Naming (reference, rcps=True):
+  caduceus.backbone.embeddings.word_embeddings.embedding.weight   (V, d)
+  caduceus.backbone.layers.{i}.norm.weight                        (d,)
+  caduceus.backbone.layers.{i}.mixer.submodule.mamba_{fwd,rev}.*  (RCPSWrapper)
+  caduceus.backbone.norm_f.weight
+  lm_head.lm_head.weight                                          (tied)
+rcps=False drops the `.submodule` hop (`Block.mixer` is the BiMambaWrapper)
+and uses plain `nn.Embedding` / `lm_head.weight`.
+
+torch Linear weights are (out, in) → transposed to flax (in, out);
+Conv1d depthwise weights are (d, 1, K) → (K, d).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _mamba_prefix(i: int, rcps: bool, direction: str) -> str:
+    hop = "mixer.submodule" if rcps else "mixer"
+    return f"caduceus.backbone.layers.{i}.{hop}.mamba_{direction}"
+
+
+def import_reference_state_dict(state: Dict[str, np.ndarray], cfg) -> Dict:
+    """Reference torch state dict (numpy-valued) → {'params': ...} tree.
+
+    Accepts tied or untied BiMamba; asserts tying consistency when
+    `cfg.bidirectional_weight_tie` (the reference shares the tensors, so the
+    rev entries either alias or are absent).
+    """
+    g = lambda k: np.asarray(state[k])
+    rcps = cfg.rcps
+    params: Dict[str, Any] = {}
+    backbone: Dict[str, Any] = {}
+
+    emb_key = (
+        "caduceus.backbone.embeddings.word_embeddings.embedding.weight"
+        if rcps
+        else "caduceus.backbone.embeddings.word_embeddings.weight"
+    )
+    backbone["embedding"] = g(emb_key)
+
+    for i in range(cfg.n_layer):
+        layer: Dict[str, Any] = {
+            "norm_w": g(f"caduceus.backbone.layers.{i}.norm.weight")
+        }
+        fwd_p = _mamba_prefix(i, rcps, "fwd")
+        rev_p = _mamba_prefix(i, rcps, "rev")
+
+        def direction(prefix):
+            return {
+                "conv_w": g(f"{prefix}.conv1d.weight")[:, 0, :].T,  # (d,1,K)->(K,d)
+                "conv_b": g(f"{prefix}.conv1d.bias"),
+                "x_proj_w": g(f"{prefix}.x_proj.weight").T,
+                "dt_proj_w": g(f"{prefix}.dt_proj.weight").T,
+                "dt_proj_b": g(f"{prefix}.dt_proj.bias"),
+                "A_log": g(f"{prefix}.A_log"),
+                "D": g(f"{prefix}.D"),
+            }
+
+        mixer: Dict[str, Any] = {
+            "fwd": direction(fwd_p),
+            "in_proj": {"kernel": g(f"{fwd_p}.in_proj.weight").T},
+            "out_proj": {"kernel": g(f"{fwd_p}.out_proj.weight").T},
+        }
+        if cfg.bidirectional:
+            mixer["rev"] = direction(rev_p)
+            if cfg.bidirectional_weight_tie:
+                # reference ties by aliasing (`modeling_caduceus.py:114-118`)
+                if f"{rev_p}.in_proj.weight" in state:
+                    np.testing.assert_allclose(
+                        g(f"{rev_p}.in_proj.weight"), g(f"{fwd_p}.in_proj.weight"),
+                        err_msg="weight-tie mismatch: in_proj",
+                    )
+            else:
+                mixer["in_proj_rev"] = {"kernel": g(f"{rev_p}.in_proj.weight").T}
+                mixer["out_proj_rev"] = {"kernel": g(f"{rev_p}.out_proj.weight").T}
+        layer["mixer"] = mixer
+        backbone[f"layers_{i}"] = layer
+
+    backbone["norm_f_w"] = g("caduceus.backbone.norm_f.weight")
+    params["backbone"] = backbone
+    # lm_head is tied to the embedding in both frameworks; an untied
+    # reference head maps to the 'lm_head' param.
+    head_key = "lm_head.lm_head.weight" if rcps else "lm_head.weight"
+    if head_key in state and not np.allclose(
+        np.asarray(state[head_key]), backbone["embedding"]
+    ):
+        params["lm_head"] = g(head_key)
+    return {"params": params}
+
+
+def export_reference_state_dict(variables: Dict, cfg) -> Dict[str, np.ndarray]:
+    """{'params': ...} tree → reference-named numpy state dict."""
+    p = variables["params"]
+    rcps = cfg.rcps
+    out: Dict[str, np.ndarray] = {}
+    bb = p["backbone"]
+    emb = np.asarray(bb["embedding"])
+    emb_key = (
+        "caduceus.backbone.embeddings.word_embeddings.embedding.weight"
+        if rcps
+        else "caduceus.backbone.embeddings.word_embeddings.weight"
+    )
+    out[emb_key] = emb
+    out["lm_head.lm_head.weight" if rcps else "lm_head.weight"] = emb
+
+    for i in range(cfg.n_layer):
+        layer = bb[f"layers_{i}"]
+        out[f"caduceus.backbone.layers.{i}.norm.weight"] = np.asarray(layer["norm_w"])
+        mixer = layer["mixer"]
+        fwd_p = _mamba_prefix(i, rcps, "fwd")
+        rev_p = _mamba_prefix(i, rcps, "rev")
+
+        def put(prefix, dp, in_proj, out_proj):
+            out[f"{prefix}.conv1d.weight"] = np.asarray(dp["conv_w"]).T[:, None, :]
+            out[f"{prefix}.conv1d.bias"] = np.asarray(dp["conv_b"])
+            out[f"{prefix}.x_proj.weight"] = np.asarray(dp["x_proj_w"]).T
+            out[f"{prefix}.dt_proj.weight"] = np.asarray(dp["dt_proj_w"]).T
+            out[f"{prefix}.dt_proj.bias"] = np.asarray(dp["dt_proj_b"])
+            out[f"{prefix}.A_log"] = np.asarray(dp["A_log"])
+            out[f"{prefix}.D"] = np.asarray(dp["D"])
+            out[f"{prefix}.in_proj.weight"] = np.asarray(in_proj["kernel"]).T
+            out[f"{prefix}.out_proj.weight"] = np.asarray(out_proj["kernel"]).T
+
+        put(fwd_p, mixer["fwd"], mixer["in_proj"], mixer["out_proj"])
+        if cfg.bidirectional:
+            ip = mixer.get("in_proj_rev", mixer["in_proj"])
+            op = mixer.get("out_proj_rev", mixer["out_proj"])
+            put(rev_p, mixer["rev"], ip, op)
+
+    out["caduceus.backbone.norm_f.weight"] = np.asarray(bb["norm_f_w"])
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .bin / .pt state dict into numpy (CPU torch)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.detach().numpy() for k, v in sd.items()}
