@@ -40,7 +40,7 @@ def main():
     micro_batch = max(1, micro_tokens // seqlen)
     accum = max(1, tokens_per_step // (micro_batch * seqlen))
     n_layer = int(os.environ.get("BENCH_NLAYER", 16))
-    steps = int(os.environ.get("BENCH_STEPS", 5))
+    steps = int(os.environ.get("BENCH_STEPS", 3))
     kernel = os.environ.get("BENCH_KERNEL", "auto")
 
     tok = CaduceusTokenizer()
