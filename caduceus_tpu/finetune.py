@@ -34,6 +34,8 @@ def finetune_one(
     conjoin: bool = False,
     seed: int = 0,
     metric: str = "accuracy",
+    problem_type: str = "single_label_classification",
+    freeze_backbone: bool = False,
     log_fn=None,
 ) -> Dict[str, float]:
     """Train one classification run; returns best-val and test metrics."""
@@ -66,12 +68,29 @@ def finetune_one(
 
     def loss_fn(p, ids, labels):
         logits = model.apply(p, ids)
-        loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        # problem-type dispatch (`modeling_caduceus.py:612-631`)
+        if problem_type == "regression":
+            loss = jnp.mean(jnp.square(jnp.squeeze(logits) - jnp.squeeze(labels)))
+        elif problem_type == "multi_label_classification":
+            loss = optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+        else:
+            loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
         return loss, logits
+
+    def zero_backbone_grads(g):
+        # freeze option (`load_backbone` freeze, `dna_embedding.py:248-252`)
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jnp.zeros_like(leaf)
+            if any(str(getattr(p, "key", p)) == "backbone" for p in path)
+            else leaf,
+            g,
+        )
 
     @jax.jit
     def train_step(p, o, ids, labels):
         (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(p, ids, labels)
+        if freeze_backbone:
+            g = zero_backbone_grads(g)
         updates, o = tx.update(g, o, p)
         return optax.apply_updates(p, updates), o, loss
 
@@ -132,6 +151,10 @@ def main(argv=None):
     p.add_argument("--d-model", type=int, default=128)
     p.add_argument("--n-layer", type=int, default=4)
     p.add_argument("--no-rcps", action="store_true")
+    p.add_argument("--freeze-backbone", action="store_true")
+    p.add_argument("--problem-type", default="single_label_classification",
+                   choices=["single_label_classification", "regression",
+                            "multi_label_classification"])
     args = p.parse_args(argv)
 
     import jax
@@ -188,6 +211,8 @@ def main(argv=None):
             cfg, dm, dm.num_classes, pretrained_params=pretrained_params,
             epochs=args.epochs, lr=args.lr, pooling=args.pooling,
             conjoin=conjoin and not cfg.rcps, seed=seed, metric=args.metric,
+            problem_type=args.problem_type,
+            freeze_backbone=args.freeze_backbone,
         )
         r["seed"] = seed
         results.append(r)

@@ -1,0 +1,67 @@
+"""Sequence decoders (task heads).
+
+Parity with `src/tasks/decoders.py` `SequenceDecoder` (`:40-161`):
+- restrict modes: last / first / pool (mean) / sum / ragged (`:86-127`),
+  with optional per-example lengths for masked variants;
+- conjoin handling (`:146-153`): a (..., d, 2) input applies the shared
+  output projection to both strand channels and averages.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def restrict_sequence(
+    x: jnp.ndarray,  # (B, L, d)
+    mode: str = "pool",
+    lengths: Optional[jnp.ndarray] = None,  # (B,) valid lengths (from end pad)
+) -> jnp.ndarray:
+    """Reduce the length dimension per the reference's modes."""
+    B, L, d = x.shape
+    if lengths is not None:
+        pos = jnp.arange(L)[None, :, None]
+        mask = pos < lengths[:, None, None]
+    else:
+        mask = None
+
+    if mode == "last":
+        if lengths is None:
+            return x[:, -1]
+        idx = jnp.clip(lengths - 1, 0, L - 1)
+        return jnp.take_along_axis(x, idx[:, None, None].repeat(d, -1), axis=1)[:, 0]
+    if mode == "first":
+        return x[:, 0]
+    if mode == "sum":
+        return jnp.sum(x * mask, axis=1) if mask is not None else jnp.sum(x, axis=1)
+    if mode in ("pool", "mean", "ragged"):
+        # "ragged" is the length-aware mean (`decoders.py:111-127`)
+        if mask is not None:
+            denom = jnp.maximum(lengths, 1)[:, None]
+            return jnp.sum(x * mask, axis=1) / denom
+        return jnp.mean(x, axis=1)
+    if mode == "max":
+        return jnp.max(x, axis=1)
+    raise NotImplementedError(f"restrict mode {mode!r}")
+
+
+class SequenceDecoder(nn.Module):
+    """Linear head over a restricted sequence representation, with conjoin
+    strand averaging."""
+
+    d_output: int
+    mode: str = "pool"
+    use_lengths: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None):
+        head = nn.Dense(self.d_output, name="output_transform")
+        if x.ndim == 4:  # (B, L, d, 2) conjoined strands
+            pooled_f = restrict_sequence(x[..., 0], self.mode, lengths)
+            pooled_r = restrict_sequence(x[..., 1], self.mode, lengths)
+            return (head(pooled_f) + head(pooled_r)) / 2
+        pooled = restrict_sequence(x, self.mode, lengths)
+        return head(pooled)

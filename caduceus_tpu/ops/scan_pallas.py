@@ -309,9 +309,16 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(0, T, fstep, h0)
 
-    # ---- phase 2: reverse sweep computing gradients ----
+    # ---- phase 2: reverse sweep — only what truly needs the time loop.
+    # Everything position-local (softplus chain, D-term of g_u, the g_delta
+    # du-part, accumulator reductions) is hoisted to chunk-wide epilogue
+    # vector ops; the loop stages the lam-dependent raw pieces:
+    #   gdelta_s[t] <- sum_n lam*dA*A*h[t-1]   (decay part, pre-chain)
+    #   gu_s[t]     <- sum_n lam*B             (g_du; epilogue builds g_u/g_delta)
+    #   gbc_s       <- g_B, g_C
+    #   gA via per-step accumulate (needs lam ⊗ h[t-1] ⊗ delta)
     def bstep(k, carry):
-        lam, gD_acc, gbias_acc, gA_acc = carry
+        lam, gA_acc = carry
         # scan-order index o runs T-1 .. 0; array index t mirrors for reverse
         o = T - 1 - k
         t = (T - 1 - o) if reverse else o
@@ -324,7 +331,6 @@ def _bwd_kernel(
         B_t = bc_s[:, 0, pl.ds(t, 1), :][:, 0, :]
         du_t = du_s[:, pl.ds(t, 1), :][:, 0, :]
         d_t = delta_s[:, pl.ds(t, 1), :][:, 0, :]
-        u_t = u_s[:, pl.ds(t, 1), :][:, 0, :]
 
         lam_inc = lam + C_t[..., None] * gy_t[:, None, :]    # (Gb, N, d)
 
@@ -333,44 +339,42 @@ def _bwd_kernel(
         h_prev_mem = h_s[:, pl.ds(tp, 1)][:, 0].astype(jnp.float32)
         h_prev = jnp.where(o == 0, h0, h_prev_mem)
 
-        # per-position output grads
         gC_t = jnp.sum(h_t * gy_t[:, None, :], axis=2)       # (Gb, N)
         gB_t = jnp.sum(lam_inc * du_t[:, None, :], axis=2)   # (Gb, N)
         g_du = jnp.sum(lam_inc * B_t[..., None], axis=1)     # (Gb, d)
-        g_dA = lam_inc * h_prev                              # (Gb, N, d)
-        g_delta = jnp.sum(g_dA * dA_t * A[None], axis=1) + u_t * g_du
-        g_u = D_ref[0][None, :] * gy_t + d_t * g_du
-        if delta_softplus:
-            # d softplus(x)/dx = sigmoid(x) = 1 - exp(-softplus(x))
-            g_delta = g_delta * (1.0 - jnp.exp(-d_t))
+        lam_h = lam_inc * dA_t * h_prev                      # (Gb, N, d)
+        g_delta_decay = jnp.sum(lam_h * A[None], axis=1)     # (Gb, d)
 
-        gu_s[:, pl.ds(t, 1), :] = g_u[:, None, :]
-        gdelta_s[:, pl.ds(t, 1), :] = g_delta[:, None, :]
+        gu_s[:, pl.ds(t, 1), :] = g_du[:, None, :]
+        gdelta_s[:, pl.ds(t, 1), :] = g_delta_decay[:, None, :]
         gbc_s[:, 0, pl.ds(t, 1), :] = gB_t[:, None, :]
         gbc_s[:, 1, pl.ds(t, 1), :] = gC_t[:, None, :]
 
-        # accumulators
-        gD_acc = gD_acc + jnp.sum(gy_t * u_t, axis=0)        # (d,)
-        gbias_acc = gbias_acc + jnp.sum(g_delta, axis=0)     # (d,)
-        gA_acc = gA_acc + jnp.sum(g_dA * dA_t * d_t[:, None, :], axis=0)  # (N, d)
-
+        gA_acc = gA_acc + jnp.sum(lam_h * d_t[:, None, :], axis=0)  # (N, d)
         lam = dA_t * lam_inc
-        return lam, gD_acc, gbias_acc, gA_acc
+        return lam, gA_acc
 
     lam0 = lam_s[...]
-    lam, gD_acc, gbias_acc, gA_acc = jax.lax.fori_loop(
-        0, T, bstep,
-        (lam0, jnp.zeros_like(acc_s[0]), jnp.zeros_like(acc_s[1]),
-         jnp.zeros_like(acc_s[2:])),
-    )
+    lam, gA_acc = jax.lax.fori_loop(0, T, bstep, (lam0, jnp.zeros_like(acc_s[2:])))
     lam_s[...] = lam
-    acc_s[0] = acc_s[0] + gD_acc
-    acc_s[1] = acc_s[1] + gbias_acc
+
+    # ---- epilogue: chunk-wide vector ops over (Gb, T, d) ----
+    gy = gy_s[...]
+    u_all = u_s[...]
+    delta_all = delta_s[...]
+    g_du_all = gu_s[...]                      # staged sum_n lam*B
+    g_delta = gdelta_s[...] + u_all * g_du_all
+    if delta_softplus:
+        # d softplus(x)/dx = sigmoid(x) = 1 - exp(-softplus(x))
+        g_delta = g_delta * (1.0 - jnp.exp(-delta_all))
+    g_u = D_ref[0][None, None, :] * gy + delta_all * g_du_all
+
+    acc_s[0] = acc_s[0] + jnp.sum(gy * u_all, axis=(0, 1))        # g_D
+    acc_s[1] = acc_s[1] + jnp.sum(g_delta, axis=(0, 1))           # g_bias
     acc_s[2:] = acc_s[2:] + gA_acc
 
-    # write chunk outputs
-    gu_ref[...] = gu_s[...].astype(gu_ref.dtype)
-    gdelta_ref[...] = gdelta_s[...].astype(gdelta_ref.dtype)
+    gu_ref[...] = g_u.astype(gu_ref.dtype)
+    gdelta_ref[...] = g_delta.astype(gdelta_ref.dtype)
     gB_ref[...] = gbc_s[:, 0].astype(gB_ref.dtype)
     gC_ref[...] = gbc_s[:, 1].astype(gC_ref.dtype)
     # global accumulators (last write wins; scratch is monotone)

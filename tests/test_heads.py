@@ -1,0 +1,81 @@
+"""SequenceDecoder modes + conjoin averaging; finetune problem types."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from caduceus_tpu.models.heads import SequenceDecoder, restrict_sequence
+
+
+def test_restrict_modes():
+    x = jnp.arange(2 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 3)
+    np.testing.assert_allclose(restrict_sequence(x, "first"), np.asarray(x[:, 0]))
+    np.testing.assert_allclose(restrict_sequence(x, "last"), np.asarray(x[:, -1]))
+    np.testing.assert_allclose(restrict_sequence(x, "sum"), np.asarray(x.sum(1)))
+    np.testing.assert_allclose(restrict_sequence(x, "pool"), np.asarray(x.mean(1)))
+    np.testing.assert_allclose(restrict_sequence(x, "max"), np.asarray(x.max(1)))
+
+
+def test_restrict_ragged_lengths():
+    x = jnp.ones((2, 4, 3))
+    lengths = jnp.array([2, 4])
+    out = restrict_sequence(x, "ragged", lengths)
+    np.testing.assert_allclose(np.asarray(out), np.ones((2, 3)))
+    s = restrict_sequence(x, "sum", lengths)
+    np.testing.assert_allclose(np.asarray(s), [[2, 2, 2], [4, 4, 4]])
+    last = restrict_sequence(x * jnp.arange(4)[None, :, None], "last", lengths)
+    np.testing.assert_allclose(np.asarray(last), [[1, 1, 1], [3, 3, 3]])
+
+
+def test_conjoin_average():
+    dec = SequenceDecoder(d_output=5, mode="pool")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 4, 2))
+    params = dec.init(jax.random.PRNGKey(1), x)
+    out = dec.apply(params, x)
+    assert out.shape == (2, 5)
+    # shared head on each strand, averaged
+    o1 = dec.apply(params, x[..., 0])
+    o2 = dec.apply(params, x[..., 1])
+    np.testing.assert_allclose(np.asarray(out), np.asarray((o1 + o2) / 2), rtol=1e-5)
+
+
+def test_finetune_regression_problem_type(tmp_path):
+    from caduceus_tpu.config import CaduceusConfig, SSMConfig
+    from caduceus_tpu.data.classification import (
+        ClassificationDataModule, make_synthetic_classification_task,
+    )
+    from caduceus_tpu.finetune import finetune_one
+    from caduceus_tpu.tokenization import CharacterTokenizer
+
+    data_dir = make_synthetic_classification_task(str(tmp_path), task="t",
+                                                  n_train=32, n_test=16, seq_len=32)
+    tok = CharacterTokenizer()
+    cfg = CaduceusConfig(d_model=16, n_layer=1, vocab_size=tok.vocab_size,
+                         ssm_cfg=SSMConfig(d_state=4), rcps=True,
+                         complement_map=tok.complement_map,
+                         dtype="float32", param_dtype="float32")
+    dm = ClassificationDataModule(data_dir, "t", max_length=32, batch_size=8)
+    r = finetune_one(cfg, dm, num_labels=1, epochs=1, lr=1e-3,
+                     problem_type="regression", log_fn=lambda m: None)
+    assert "test_accuracy" in r
+
+
+def test_finetune_freeze_backbone(tmp_path):
+    from caduceus_tpu.config import CaduceusConfig, SSMConfig
+    from caduceus_tpu.data.classification import (
+        ClassificationDataModule, make_synthetic_classification_task,
+    )
+    from caduceus_tpu.finetune import finetune_one
+    from caduceus_tpu.tokenization import CharacterTokenizer
+
+    data_dir = make_synthetic_classification_task(str(tmp_path), task="t",
+                                                  n_train=32, n_test=16, seq_len=32)
+    tok = CharacterTokenizer()
+    cfg = CaduceusConfig(d_model=16, n_layer=1, vocab_size=tok.vocab_size,
+                         ssm_cfg=SSMConfig(d_state=4), rcps=True,
+                         complement_map=tok.complement_map,
+                         dtype="float32", param_dtype="float32")
+    dm = ClassificationDataModule(data_dir, "t", max_length=32, batch_size=8)
+    r = finetune_one(cfg, dm, num_labels=2, epochs=1, lr=1e-2,
+                     freeze_backbone=True, log_fn=lambda m: None)
+    assert "test_accuracy" in r
