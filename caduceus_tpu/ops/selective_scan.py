@@ -153,8 +153,15 @@ def selective_scan(
     delta_softplus: bool = False,
     reverse: bool = False,
     chunk_size: int = 256,
-) -> jnp.ndarray:
-    """Chunked selective scan (XLA path). See module docstring."""
+    h_init: Optional[jnp.ndarray] = None,  # (B, d, N) state entering the seq
+    return_final_state: bool = False,
+):
+    """Chunked selective scan (XLA path). See module docstring.
+
+    ``h_init`` / ``return_final_state`` support segmenting a long sequence
+    across calls — the basis of the sequence-parallel (context-parallel)
+    scan (`caduceus_tpu/parallel/seq_scan.py`, SURVEY.md §5.7).
+    """
     dtype = u.dtype
     Bsz, L, d = u.shape
     N = A.shape[-1]
@@ -163,18 +170,21 @@ def selective_scan(
     ck = min(chunk_size, L)
     tensors = [u, delta, B_mat, C] + ([z] if z is not None else [])
     if L % ck != 0:
-        # pad to a chunk multiple with zeros. Padded steps: delta_raw = 0
-        # (softplus(0 + bias) > 0 is fine — drive is 0·u·B = 0 ... only
-        # because u is 0; decay contaminates nothing because padded steps
-        # sit strictly after (forward) / before (reverse) every real step
-        # in traversal order, and the carry INTO real steps is never
-        # post-padding: forward consumes pads last; reverse consumes pads
-        # first starting from h=0 with zero drive, leaving h=0.
+        # pad to a chunk multiple. Padded steps must be exact identities
+        # (decay 1, drive 0) so that h_init propagation and the returned
+        # final state are unaffected: pad delta_raw such that the resolved
+        # delta is 0 — a large negative under softplus, 0 otherwise; all
+        # other tensors pad with zeros (drive = delta*u*B = 0 regardless).
         pad = ck - L % ck
-        tensors = [
-            jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
-            for t in tensors
-        ]
+        dpad = -1e4 if delta_softplus else 0.0
+        padded = []
+        for i, t in enumerate(tensors):
+            cval = dpad if i == 1 else 0.0
+            padded.append(
+                jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2),
+                        constant_values=cval)
+            )
+        tensors = padded
     Lp = tensors[0].shape[1]
     nc = Lp // ck
 
@@ -182,7 +192,8 @@ def selective_scan(
         return jnp.moveaxis(t.reshape(Bsz, nc, ck, *t.shape[2:]), 1, 0)
 
     xs = tuple(to_chunks(t) for t in tensors)
-    h0 = jnp.zeros((Bsz, d, N), jnp.float32)
+    h0 = (jnp.zeros((Bsz, d, N), jnp.float32) if h_init is None
+          else h_init.astype(jnp.float32))
 
     body = jax.checkpoint(
         functools.partial(
@@ -195,6 +206,8 @@ def selective_scan(
             out_dtype=dtype,
         )
     )
-    _, ys = lax.scan(body, h0, xs, reverse=reverse)  # ys: (nc, B, Ck, d)
+    h_last, ys = lax.scan(body, h0, xs, reverse=reverse)  # ys: (nc, B, Ck, d)
     y = jnp.moveaxis(ys, 0, 1).reshape(Bsz, Lp, d)[:, :L]
+    if return_final_state:
+        return y, h_last
     return y

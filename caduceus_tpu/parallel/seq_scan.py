@@ -1,0 +1,112 @@
+"""Sequence-parallel (context-parallel) selective scan.
+
+SURVEY.md §5.7 stretch goal: the reference reaches 131k tokens on a single
+device (linear-time scan); true context parallelism is absent there. The
+scan's associativity makes it cheap on TPU: shard the sequence axis across
+the mesh, run the local scan per shard, and compose shard boundary states
+with one tiny collective.
+
+Algorithm (two-pass, exact):
+1. local pass: each shard s computes its scan from h=0, giving y0_s and the
+   shard-final state b_s = h_final(h0=0); the shard's total decay is
+   analytic: A_prod_s = exp(A ⊙ sum_t delta[t])  (no extra scan needed);
+2. boundary exchange: an exclusive associative scan over the n_s shard
+   summaries ((d,N)-sized — bytes, not activations) gives each shard its
+   true incoming state h0_s; implemented with `lax.all_gather` over the
+   sequence axis + a tiny unrolled combine (n_s is the mesh axis size);
+3. correction pass: re-run the local scan with h_init = h0_s.
+
+Cost: 2× local scan compute; communication is O(n_s · d · N) bytes — this
+trades FLOPs for memory capacity/bandwidth, exactly the right trade when a
+single chip cannot hold the sequence. Forward-only for now (long-context
+inference / embedding extraction, e.g. 131k+ VEP across a pod); the
+backward pass through shard boundaries is future work.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from caduceus_tpu.ops.selective_scan import _resolve_delta, selective_scan
+
+
+def sequence_parallel_scan(
+    u: jnp.ndarray,      # (G, L, d) — L sharded over `axis`
+    delta: jnp.ndarray,
+    A: jnp.ndarray,      # (d, N) replicated
+    B_mat: jnp.ndarray,
+    C: jnp.ndarray,
+    D: Optional[jnp.ndarray] = None,
+    z: Optional[jnp.ndarray] = None,
+    delta_bias: Optional[jnp.ndarray] = None,
+    delta_softplus: bool = False,
+    reverse: bool = False,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    chunk_size: int = 256,
+) -> jnp.ndarray:
+    """Exact selective scan with the sequence axis sharded over `axis`."""
+    n_s = mesh.shape[axis]
+    G, L, d = u.shape
+    N = A.shape[-1]
+    assert L % n_s == 0, f"L={L} not divisible by mesh axis {axis}={n_s}"
+
+    seq_spec = P(None, axis, None)
+    rep = P()
+
+    def local(u_l, delta_l, B_l, C_l, z_l):
+        idx = lax.axis_index(axis)
+        # pass 1: local scan from zero state + final state
+        y0, b_s = selective_scan(
+            u_l, delta_l, A, B_l, C_l, D=None, z=None,
+            delta_bias=delta_bias, delta_softplus=delta_softplus,
+            reverse=reverse, chunk_size=chunk_size, return_final_state=True,
+        )
+        del y0  # only the boundary state is needed from pass 1
+        # analytic total decay of this shard: exp(A ⊙ Σ_t delta)
+        dsum = jnp.sum(
+            _resolve_delta(delta_l, delta_bias, delta_softplus), axis=1
+        )  # (G, d)
+        A_prod = jnp.exp(dsum[..., None] * A.astype(jnp.float32)[None])  # (G,d,N)
+
+        # boundary exchange: gather all shard summaries ((d,N)-sized), then
+        # build the running state in scan order (reverse flips shard order)
+        # and select this shard's incoming state — an exclusive prefix scan
+        # unrolled over the (small) mesh axis.
+        a_all = lax.all_gather(A_prod, axis)  # (n_s, G, d, N)
+        b_all = lax.all_gather(b_s, axis)
+        order = range(n_s - 1, -1, -1) if reverse else range(n_s)
+        h_run = jnp.zeros_like(b_s)
+        my_h0 = jnp.zeros_like(b_s)
+        for s in order:
+            my_h0 = jnp.where(idx == s, h_run, my_h0)
+            h_run = a_all[s] * h_run + b_all[s]
+
+        # pass 2: exact local scan with the true incoming state
+        y = selective_scan(
+            u_l, delta_l, A, B_l, C_l, D=D, z=z_l if z is not None else None,
+            delta_bias=delta_bias, delta_softplus=delta_softplus,
+            reverse=reverse, chunk_size=chunk_size, h_init=my_h0,
+        )
+        return y
+
+    z_in = z if z is not None else jnp.zeros((G, L, d), u.dtype)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(seq_spec, seq_spec, P(None, axis, None), P(None, axis, None), seq_spec),
+        out_specs=seq_spec,
+        check_rep=False,
+    )
+    return fn(u, delta, B_mat, C, z_in)
