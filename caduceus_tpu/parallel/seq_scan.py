@@ -65,13 +65,24 @@ def sequence_parallel_scan(
     seq_spec = P(None, axis, None)
     rep = P()
 
+    def _varying(x):
+        # under shard_map, constants created inside the body are "unvarying"
+        # over the mesh axis; scan carries must match the (varying) outputs.
+        if hasattr(lax, "pcast"):
+            return lax.pcast(x, (axis,), to="varying")
+        if hasattr(lax, "pvary"):
+            return lax.pvary(x, (axis,))
+        return x
+
     def local(u_l, delta_l, B_l, C_l, z_l):
         idx = lax.axis_index(axis)
+        zero_h = _varying(jnp.zeros((G, d, N), jnp.float32))
         # pass 1: local scan from zero state + final state
         y0, b_s = selective_scan(
             u_l, delta_l, A, B_l, C_l, D=None, z=None,
             delta_bias=delta_bias, delta_softplus=delta_softplus,
             reverse=reverse, chunk_size=chunk_size, return_final_state=True,
+            h_init=zero_h,
         )
         del y0  # only the boundary state is needed from pass 1
         # analytic total decay of this shard: exp(A ⊙ Σ_t delta)
@@ -107,6 +118,5 @@ def sequence_parallel_scan(
         mesh=mesh,
         in_specs=(seq_spec, seq_spec, P(None, axis, None), P(None, axis, None), seq_spec),
         out_specs=seq_spec,
-        check_rep=False,
     )
     return fn(u, delta, B_mat, C, z_in)
