@@ -195,13 +195,35 @@ class _DirectionParams(nn.Module):
         self.A_log = self.param("A_log", a_log_init(s.d_state), (d_inner, s.d_state), jnp.float32)
         self.D = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
 
-    def __call__(self, x: jnp.ndarray, reverse: bool, chunk_size: int) -> jnp.ndarray:
-        c = self.cfg
-        use_kernel = c.ssm_cfg.use_kernel
+    def _resolved_kernel(self) -> str:
+        use_kernel = self.cfg.ssm_cfg.use_kernel
         if use_kernel == "auto":
             # the Pallas kernel targets real TPUs (backend "tpu", or "axon"
             # in tunneled containers); interpret mode is for tests
             use_kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
+        return use_kernel
+
+    def projections(self, x: jnp.ndarray, reverse: bool):
+        """Conv + input-dependent projections; returns (xc, delta_raw, B, C)
+        flattened to (G, L, ·)."""
+        c = self.cfg
+        lead = x.shape[:-2]
+        L, d_inner = x.shape[-2], x.shape[-1]
+        x3 = x.reshape((-1, L, d_inner))
+        xc = causal_conv1d(
+            x3, self.conv_w.astype(x.dtype),
+            None if self.conv_b is None else self.conv_b.astype(x.dtype),
+            activation="silu", reverse=reverse,
+        )
+        dbc = xc @ self.x_proj_w.astype(xc.dtype)
+        dt, B_mat, C = jnp.split(
+            dbc, [c.dt_rank, c.dt_rank + c.ssm_cfg.d_state], axis=-1
+        )
+        delta_raw = dt @ self.dt_proj_w.astype(dt.dtype)
+        return xc, delta_raw, B_mat, C, lead
+
+    def __call__(self, x: jnp.ndarray, reverse: bool, chunk_size: int) -> jnp.ndarray:
+        c = self.cfg
         return ssm_branch(
             x,
             self.conv_w.astype(x.dtype),
@@ -215,7 +237,7 @@ class _DirectionParams(nn.Module):
             d_state=c.ssm_cfg.d_state,
             reverse=reverse,
             chunk_size=chunk_size,
-            use_kernel=use_kernel,
+            use_kernel=self._resolved_kernel(),
         )
 
 
@@ -313,11 +335,34 @@ class BiMamba(nn.Module):
         fwd = _DirectionParams(c, name="fwd")
         rev = _DirectionParams(c, name="rev")
 
+        def run_both(xi_f, xi_r):
+            """Run both directional inner scans; uses the paired-direction
+            Pallas kernel (single launch, double VPU width) when on TPU."""
+            kernel = fwd._resolved_kernel()
+            if kernel.startswith("pallas"):
+                from caduceus_tpu.ops.scan_pallas_bidir import (
+                    bidir_selective_scan_pallas,
+                )
+
+                xc_f, draw_f, B_f, C_f, lead = fwd.projections(xi_f, reverse=False)
+                xc_r, draw_r, B_r, C_r, _ = rev.projections(xi_r, reverse=True)
+                y_f, y_r = bidir_selective_scan_pallas(
+                    xc_f, draw_f, B_f, C_f, xc_r, draw_r, B_r, C_r,
+                    -jnp.exp(fwd.A_log.astype(jnp.float32)),
+                    -jnp.exp(rev.A_log.astype(jnp.float32)),
+                    fwd.D, rev.D, fwd.dt_proj_b, rev.dt_proj_b,
+                    True, 128, 8, kernel == "pallas_interpret",
+                )
+                L, di = xi_f.shape[-2], xi_f.shape[-1]
+                return (y_f.reshape(*lead, L, di), y_r.reshape(*lead, L, di))
+            y_f = fwd(xi_f, reverse=False, chunk_size=self.scan_chunk_size)
+            y_r = rev(xi_r, reverse=True, chunk_size=self.scan_chunk_size)
+            return y_f, y_r
+
         if tied:
             xz = in_proj(x)
             xi, z = jnp.split(xz, 2, axis=-1)
-            y_f = fwd(xi, reverse=False, chunk_size=self.scan_chunk_size)
-            y_r = rev(xi, reverse=True, chunk_size=self.scan_chunk_size)
+            y_f, y_r = run_both(xi, xi)
             gate = jax.nn.silu(z)
             if strategy == "add":
                 return out_proj((y_f + y_r) * gate)
@@ -331,8 +376,7 @@ class BiMamba(nn.Module):
         xz_r = in_proj_rev(x)
         xi_f, z_f = jnp.split(xz_f, 2, axis=-1)
         xi_r, z_r = jnp.split(xz_r, 2, axis=-1)
-        y_f = fwd(xi_f, reverse=False, chunk_size=self.scan_chunk_size)
-        y_r = rev(xi_r, reverse=True, chunk_size=self.scan_chunk_size)
+        y_f, y_r = run_both(xi_f, xi_r)
         o_f = out_proj(y_f * jax.nn.silu(z_f))
         o_r = out_proj_rev(y_r * jax.nn.silu(z_r))
         if strategy == "add":
