@@ -82,8 +82,11 @@ class CaduceusConfig:
 
     # gradient checkpointing over layers (the reference lacks this for
     # Caduceus — `modeling_caduceus.py:301` — but it is required for 131k
-    # sequence training on TPU HBM budgets)
+    # sequence training on TPU HBM budgets). remat_span groups consecutive
+    # layers under one checkpoint: saved boundary activations shrink by the
+    # span factor at unchanged total recompute (each layer recomputed once).
     remat: bool = False
+    remat_span: int = 1
 
     def __post_init__(self):
         if isinstance(self.ssm_cfg, dict):

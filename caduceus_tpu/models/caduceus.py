@@ -121,11 +121,41 @@ class CaduceusBackbone(nn.Module):
         h = embed_table.astype(dtype)[ids.reshape(S * B, L)]  # (S*B, L, d)
 
         residual = None
-        for i in range(c.n_layer):
-            block = CaduceusBlock(c, self.scan_chunk_size, name=f"layers_{i}")
-            if c.remat:
-                h, residual = nn.remat(CaduceusBlock.__call__)(block, h, residual)
-            else:
+        blocks = [
+            CaduceusBlock(c, self.scan_chunk_size, name=f"layers_{i}")
+            for i in range(c.n_layer)
+        ]
+        if c.remat:
+            # fixed-arity span functions (linen lifts module *arguments*,
+            # not module lists); spans of 1/2/4 cover practical budgets
+            def run1(b1, h, r):
+                return b1(h, r)
+
+            def run2(b1, b2, h, r):
+                h, r = b1(h, r)
+                return b2(h, r)
+
+            def run4(b1, b2, b3, b4, h, r):
+                h, r = b1(h, r)
+                h, r = b2(h, r)
+                h, r = b3(h, r)
+                return b4(h, r)
+
+            f1, f2, f4 = nn.remat(run1), nn.remat(run2), nn.remat(run4)
+            span = max(1, c.remat_span)
+            i = 0
+            while i < c.n_layer:
+                if span >= 4 and i + 3 < c.n_layer:
+                    h, residual = f4(*blocks[i : i + 4], h, residual)
+                    i += 4
+                elif span >= 2 and i + 1 < c.n_layer:
+                    h, residual = f2(blocks[i], blocks[i + 1], h, residual)
+                    i += 2
+                else:
+                    h, residual = f1(blocks[i], h, residual)
+                    i += 1
+        else:
+            for block in blocks:
                 h, residual = block(h, residual)
 
         # final add + norm with shared weights across strands

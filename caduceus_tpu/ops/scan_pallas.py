@@ -92,7 +92,7 @@ def _fwd_kernel(
         h_scratch[...] = jnp.zeros_like(h_scratch)
 
     if save_carries:
-        car_ref[:, 0] = h_scratch[...]
+        car_ref[:, 0] = h_scratch[...].astype(car_ref.dtype)
 
     u = u_ref[...].astype(jnp.float32)          # (Gb, T, d)
     delta = delta_ref[...].astype(jnp.float32)
@@ -222,7 +222,9 @@ def selective_scan_pallas_fwd_impl(
     if save_carries:
         # chunk-entry states; scan-order chunk i lives at slot i
         car_map = (lambda g, i: (g, i, 0, 0))
-        out_shape.append(jax.ShapeDtypeStruct((G, nc, N, d), jnp.float32))
+        # bf16 carries: halves HBM (537MB at 131k) at the same precision
+        # class as the bwd kernel's bf16 h-storage
+        out_shape.append(jax.ShapeDtypeStruct((G, nc, N, d), jnp.bfloat16))
         out_specs.append(
             pl.BlockSpec((Gb, 1, N, d), car_map, memory_space=pltpu.VMEM)
         )
@@ -281,7 +283,7 @@ def _bwd_kernel(
         lam_s[...] = jnp.zeros_like(lam_s)  # adjoint carry, (Gb, N, d)
 
     A = A_ref[...]  # (N, d)
-    h0 = car_ref[:, 0]  # (Gb, N, d) — state entering this chunk (scan order)
+    h0 = car_ref[:, 0].astype(jnp.float32)  # (Gb, N, d) — chunk-entry state
 
     # ---- phase 0: chunk-wide upcasts ----
     u = u_ref[...].astype(jnp.float32)
