@@ -210,6 +210,55 @@ def cmd_eval(argv):
     print(json.dumps(trainer.evaluate(max_batches=args.max_batches)))
 
 
+def cmd_generate(argv):
+    """Autoregressive generation through the recurrent (O(1)/token) path.
+
+    Parity target: the reference's generation entry on unidirectional LMs
+    (`src/models/sequence/long_conv_lm.py:391-493`, mamba-ssm `Mamba.step`).
+    Requires a causal model (bidirectional=False, rcps=False), e.g. one
+    pretrained with `pretrain --ntp --no-rcps` plus `bidirectional=false`.
+    """
+    p = argparse.ArgumentParser(prog="generate")
+    p.add_argument("--run-dir", required=True,
+                   help="run dir with model_config.json + checkpoint")
+    p.add_argument("--prompt", default="ACGT", help="DNA prompt string")
+    p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-k", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from caduceus_tpu.config import CaduceusConfig
+    from caduceus_tpu.inference import generate
+    from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
+    from caduceus_tpu.tokenization import CaduceusTokenizer
+    from caduceus_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = CaduceusConfig.load(os.path.join(args.run_dir, "model_config.json"))
+    tok = CaduceusTokenizer()
+    model = CaduceusForMaskedLM(cfg)
+    prompt_ids = jnp.asarray(tok.encode(args.prompt), jnp.int32)[None]
+
+    trainer = Trainer(model, TrainerConfig(run_dir=args.run_dir), None, None)
+    trainer.init_state({"input_ids": np.asarray(prompt_ids),
+                        "targets": np.asarray(prompt_ids)})
+    assert trainer.restore_checkpoint(), f"no checkpoint in {args.run_dir}"
+
+    out = generate(
+        trainer.state.params, cfg, prompt_ids, args.max_new_tokens,
+        rng=jax.random.PRNGKey(args.seed),
+        temperature=args.temperature, top_k=args.top_k,
+    )
+    print(json.dumps({
+        "prompt": args.prompt,
+        "generated": tok.decode(np.asarray(out[0, prompt_ids.shape[1]:])),
+    }))
+
+
 def _maybe_init_distributed():
     """Multi-host init (replaces SLURM srun/torchrun process launch,
     SURVEY.md §2.5): enable with CADUCEUS_MULTIHOST=1; coordinator/process
@@ -227,6 +276,7 @@ def main():
         "finetune": cmd_finetune,
         "vep": cmd_vep,
         "eval": cmd_eval,
+        "generate": cmd_generate,
     }
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m caduceus_tpu.cli {{{','.join(cmds)}}} ...")

@@ -1,0 +1,250 @@
+"""Recurrent (O(1)-per-token) Mamba inference: step, cache, generation.
+
+TPU-native equivalent of the reference's inference-cache path — mamba-ssm's
+``Mamba.step`` / ``allocate_inference_cache`` (plumbed through
+`caduceus/modeling_rcps.py:201-206`) and the generation entry point on
+`src/models/sequence/long_conv_lm.py:391-493`.
+
+The cache per layer is
+  conv: (B, d_conv, d_inner)  — ring buffer of the last d_conv conv inputs
+                                 (newest at index d_conv-1, matching
+                                 ``ops/conv.py`` tap layout w[K-1] = current)
+  ssm:  (B, d_inner, d_state) — the recurrence state, kept in fp32 (the
+                                 reference CUDA kernel reads state fp32)
+
+Generation is defined for causal models only (``bidirectional=False``,
+``rcps=False``) — the reference likewise only generates through the
+unidirectional ``MambaLMHeadModel``/``ConvLMHeadModel`` paths; bidirectional
+MLM models have no autoregressive factorization. ``init_cache`` still
+allocates per-direction caches for bidirectional layers so streaming
+(chunked prefill) use is possible for the forward direction.
+
+All functions are pure and jit/scan-friendly: params are the pytree from
+``model.init`` and caches are explicit inputs/outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from caduceus_tpu.config import CaduceusConfig
+from caduceus_tpu.ops.norms import add_norm, layer_norm, rms_norm
+
+Cache = Dict[str, Any]
+
+
+def _unwrap(params: Dict[str, Any]) -> Dict[str, Any]:
+    return params["params"] if "params" in params else params
+
+
+def init_cache(cfg: CaduceusConfig, batch_size: int) -> Cache:
+    """Allocate the zeroed inference cache (the reference's
+    ``allocate_inference_cache``, mamba-ssm ``Mamba.allocate_inference_cache``).
+    """
+    s = cfg.ssm_cfg
+    d_inner = cfg.d_inner
+    dirs = ["fwd", "rev"] if cfg.bidirectional else ["fwd"]
+    layer = {
+        d: {
+            "conv": jnp.zeros((batch_size, s.d_conv, d_inner), jnp.dtype(cfg.dtype)),
+            "ssm": jnp.zeros((batch_size, d_inner, s.d_state), jnp.float32),
+        }
+        for d in dirs
+    }
+    return {f"layers_{i}": jax.tree.map(jnp.copy, layer) for i in range(cfg.n_layer)}
+
+
+def mamba_direction_step(
+    dparams: Dict[str, Any],
+    cfg: CaduceusConfig,
+    xi_t: jnp.ndarray,  # (B, d_inner) — post in_proj, pre conv
+    cache: Cache,
+) -> Tuple[jnp.ndarray, Cache]:
+    """One step of the inner SSM branch (conv → projections → state update).
+
+    Matches ``ops/selective_scan.py`` / the Pallas kernel step-for-step:
+    h = exp(Δ·A)·h + Δ·u·B ; y = C·h + D·u (mamba-ssm ``Mamba.step``).
+    """
+    s = cfg.ssm_cfg
+    conv_w = dparams["conv_w"].astype(xi_t.dtype)  # (K, d_inner)
+    conv = jnp.concatenate([cache["conv"][:, 1:], xi_t[:, None, :]], axis=1)
+    xc = jnp.sum(conv * conv_w[None], axis=1)
+    if "conv_b" in dparams:
+        xc = xc + dparams["conv_b"].astype(xc.dtype)
+    xc = jax.nn.silu(xc)
+
+    dbc = xc @ dparams["x_proj_w"].astype(xc.dtype)  # (B, dt_rank + 2N)
+    dt, Bv, Cv = jnp.split(
+        dbc, [cfg.dt_rank, cfg.dt_rank + s.d_state], axis=-1
+    )
+    delta = dt @ dparams["dt_proj_w"].astype(dt.dtype)  # (B, d_inner)
+    delta = jax.nn.softplus(
+        delta.astype(jnp.float32) + dparams["dt_proj_b"].astype(jnp.float32)
+    )
+
+    A = -jnp.exp(dparams["A_log"].astype(jnp.float32))  # (d_inner, N)
+    dA = jnp.exp(delta[..., None] * A[None])            # (B, d_inner, N)
+    xf = xc.astype(jnp.float32)
+    drive = (delta * xf)[..., None] * Bv.astype(jnp.float32)[:, None, :]
+    ssm = cache["ssm"] * dA + drive
+    y = jnp.sum(ssm * Cv.astype(jnp.float32)[:, None, :], axis=-1)
+    y = y + dparams["D"].astype(jnp.float32) * xf
+    return y.astype(xi_t.dtype), {"conv": conv, "ssm": ssm}
+
+
+def bimamba_step(
+    mparams: Dict[str, Any],
+    cfg: CaduceusConfig,
+    x_t: jnp.ndarray,  # (B, d_model)
+    cache: Cache,
+) -> Tuple[jnp.ndarray, Cache]:
+    """One mixer step. Causal models only (the reverse direction of a
+    bidirectional layer is anticausal — no stepwise form exists)."""
+    if cfg.bidirectional:
+        raise NotImplementedError(
+            "stepwise decoding requires bidirectional=False (the reference "
+            "generates only through unidirectional backbones, "
+            "`src/models/sequence/long_conv_lm.py:391-493`)"
+        )
+    sub = mparams["mamba_fwd"]
+    xz = x_t @ sub["in_proj"]["kernel"].astype(x_t.dtype)
+    if "bias" in sub["in_proj"]:
+        xz = xz + sub["in_proj"]["bias"].astype(xz.dtype)
+    xi, z = jnp.split(xz, 2, axis=-1)
+    y, new_fwd = mamba_direction_step(sub["fwd"], cfg, xi, cache["fwd"])
+    y = y * jax.nn.silu(z)
+    out = y @ sub["out_proj"]["kernel"].astype(y.dtype)
+    if "bias" in sub["out_proj"]:
+        out = out + sub["out_proj"]["bias"].astype(out.dtype)
+    return out, {"fwd": new_fwd}
+
+
+def block_step(
+    lparams: Dict[str, Any],
+    cfg: CaduceusConfig,
+    x_t: jnp.ndarray,
+    residual: Optional[jnp.ndarray],
+    cache: Cache,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Cache]:
+    """One CaduceusBlock step: (add → norm) → mixer, same contract as
+    ``models/caduceus.py`` CaduceusBlock."""
+    normed, residual = add_norm(
+        x_t,
+        lparams["norm_w"],
+        lparams.get("norm_b"),
+        residual=residual,
+        eps=cfg.norm_epsilon,
+        use_rms=cfg.rms_norm,
+        residual_in_fp32=cfg.residual_in_fp32,
+        prenorm=True,
+    )
+    out, cache = bimamba_step(lparams["mixer"], cfg, normed, cache)
+    return out, residual, cache
+
+
+def lm_step(
+    params: Dict[str, Any],
+    cfg: CaduceusConfig,
+    token_t: jnp.ndarray,  # (B,) int ids
+    caches: Cache,
+    tie_word_embeddings: bool = True,
+) -> Tuple[jnp.ndarray, Cache]:
+    """One full-model step: token → next-token logits (fp32), updated caches.
+
+    Numerically equals column t of ``CaduceusForMaskedLM.__call__`` on the
+    full sequence (verified by tests/test_inference.py).
+    """
+    p = _unwrap(params)
+    bb = p["backbone"]
+    dtype = jnp.dtype(cfg.dtype)
+    h = bb["embedding"].astype(dtype)[token_t]  # (B, d_model)
+
+    residual = None
+    new_caches = {}
+    for i in range(cfg.n_layer):
+        key = f"layers_{i}"
+        h, residual, new_caches[key] = block_step(
+            bb[key], cfg, h, residual, caches[key]
+        )
+
+    final = h if residual is None else residual + h.astype(residual.dtype)
+    if cfg.residual_in_fp32:
+        final = final.astype(jnp.float32)
+    if cfg.rms_norm:
+        h = rms_norm(final, bb["norm_f_w"], eps=cfg.norm_epsilon).astype(dtype)
+    else:
+        h = layer_norm(
+            final, bb["norm_f_w"], bb.get("norm_f_b"), eps=cfg.norm_epsilon
+        ).astype(dtype)
+
+    W = (bb["embedding"] if tie_word_embeddings else p["lm_head"]).astype(dtype)
+    logits = h @ W.T
+    return logits.astype(jnp.float32), new_caches
+
+
+def prefill(
+    params: Dict[str, Any],
+    cfg: CaduceusConfig,
+    prompt_ids: jnp.ndarray,  # (B, Lp)
+    caches: Optional[Cache] = None,
+) -> Tuple[jnp.ndarray, Cache]:
+    """Run the prompt through the stepwise path via ``lax.scan``.
+
+    Returns (logits at the last prompt position, caches after the prompt).
+    """
+    B = prompt_ids.shape[0]
+    if caches is None:
+        caches = init_cache(cfg, B)
+
+    def step(carry, tok):
+        logits, carry = lm_step(params, cfg, tok, carry)
+        return carry, logits
+
+    caches, logits_all = jax.lax.scan(step, caches, prompt_ids.T)
+    return logits_all[-1], caches
+
+
+def generate(
+    params: Dict[str, Any],
+    cfg: CaduceusConfig,
+    prompt_ids: jnp.ndarray,  # (B, Lp)
+    max_new_tokens: int,
+    rng: Optional[jax.Array] = None,
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+) -> jnp.ndarray:
+    """Autoregressive generation with O(1) state per token.
+
+    temperature == 0 → greedy; otherwise softmax sampling (optionally
+    top-k-truncated). Returns (B, Lp + max_new_tokens) token ids.
+    """
+    if cfg.bidirectional or cfg.rcps:
+        raise NotImplementedError(
+            "generation requires a causal config (bidirectional=False, "
+            "rcps=False)"
+        )
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    last_logits, caches = prefill(params, cfg, prompt_ids)
+
+    def sample(rng, logits):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(prompt_ids.dtype)
+        logits = logits / temperature
+        if top_k is not None:
+            kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        return jax.random.categorical(rng, logits).astype(prompt_ids.dtype)
+
+    def step(carry, rng_t):
+        caches, logits = carry
+        tok = sample(rng_t, logits)
+        logits, caches = lm_step(params, cfg, tok, caches)
+        return (caches, logits), tok
+
+    rngs = jax.random.split(rng, max_new_tokens)
+    _, new_tokens = jax.lax.scan(step, (caches, last_logits), rngs)
+    return jnp.concatenate([prompt_ids, new_tokens.T], axis=1)

@@ -114,10 +114,14 @@ class HyenaOperator(nn.Module):
     filter_w: float = 1.0
     modulate: bool = True
     activation: str = "id"  # post-recurrence activation (`hyena.py:323-326`)
+    dropout: float = 0.0  # recurrence dropout (`hyena.py:326,405`)
+    # filter_dropout accepted for config parity but unused: the reference
+    # declares it "not implemented" (`src/models/sequence/hyena.py:173`)
+    filter_dropout: float = 0.0
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, u: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d, order = self.d_model, self.order
         dtype = jnp.dtype(self.dtype)
         u = u.astype(dtype)
@@ -155,8 +159,9 @@ class HyenaOperator(nn.Module):
         k_all = k_all.reshape(l_filter, d, order - 1)
         bias_all = bias_all.reshape(d, order - 1)
 
+        drop = nn.Dropout(self.dropout, deterministic=not train, name="drop")
         for o, x_i in enumerate(reversed(xs[1:])):
-            v = v * x_i
+            v = drop(v * x_i)  # recurrence dropout (`hyena.py:405`)
             k = k_all[:, :, o].astype(jnp.float32)
             bias = bias_all[:, o]
             v = fft_conv(v, k, bias).astype(dtype)
@@ -196,10 +201,11 @@ class MHA(nn.Module):
     d_model: int
     num_heads: int = 8
     causal: bool = True
+    dropout: float = 0.0  # attention-output dropout (flash-attn MHA `dropout`)
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         dtype = jnp.dtype(self.dtype)
         B, L, d = x.shape
         hd = d // self.num_heads
@@ -212,6 +218,8 @@ class MHA(nn.Module):
             rs(q), rs(k), rs(v), is_causal=self.causal
         )
         out = out.reshape(B, L, d)
+        out = nn.Dropout(self.dropout, deterministic=not train,
+                         name="drop")(out)
         return nn.Dense(d, kernel_init=torch_linear_init(d),
                         bias_init=torch_linear_init(d), dtype=dtype,
                         name="out_proj")(out)
@@ -230,10 +238,16 @@ class HyenaLMBackbone(nn.Module):
     max_position_embeddings: int = 0  # 0 = no learned pos emb
     layer_norm_epsilon: float = 1e-5
     hyena_kwargs: Optional[dict] = None
+    # embed_dropout is resid_dropout1 of block 0, resid_dropout applies to
+    # each sub-branch output before the residual add
+    # (`long_conv_lm.py:252-253,288-309`; defaults from
+    # `configs/model/hyena.yaml:6-7`)
+    embed_dropout: float = 0.1
+    resid_dropout: float = 0.0
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, input_ids: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dtype = jnp.dtype(self.dtype)
         embed = self.param("embedding", nn.initializers.normal(0.02),
                            (self.vocab_size, self.d_model), jnp.float32)
@@ -242,8 +256,11 @@ class HyenaLMBackbone(nn.Module):
             pos = self.param("pos_embedding", nn.initializers.normal(0.02),
                              (self.max_position_embeddings, self.d_model), jnp.float32)
             h = h + pos.astype(dtype)[None, : h.shape[1]]
+        h = nn.Dropout(self.embed_dropout, deterministic=not train,
+                       name="drop_emb")(h)
 
         hk = self.hyena_kwargs or {}
+        det = not train
         for i in range(self.n_layer):
             ln1 = nn.LayerNorm(epsilon=self.layer_norm_epsilon, dtype=dtype,
                                name=f"ln1_{i}")
@@ -255,8 +272,13 @@ class HyenaLMBackbone(nn.Module):
             else:
                 mixer = HyenaOperator(self.d_model, self.l_max, dtype=self.dtype,
                                       name=f"mixer_{i}", **hk)
-            h = h + mixer(ln1(h))
-            h = h + Mlp(self.d_model, dtype=self.dtype, name=f"mlp_{i}")(ln2(h))
+            d1 = nn.Dropout(self.resid_dropout, deterministic=det,
+                            name=f"drop1_{i}")
+            d2 = nn.Dropout(self.resid_dropout, deterministic=det,
+                            name=f"drop2_{i}")
+            h = h + d1(mixer(ln1(h), train=train))
+            h = h + d2(Mlp(self.d_model, dtype=self.dtype,
+                           name=f"mlp_{i}")(ln2(h)))
 
         h = nn.LayerNorm(epsilon=self.layer_norm_epsilon, dtype=dtype,
                          name="ln_f")(h)
@@ -273,14 +295,17 @@ class HyenaLMHeadModel(nn.Module):
     l_max: int
     attn_layer_idx: Sequence[int] = ()
     hyena_kwargs: Optional[dict] = None
+    embed_dropout: float = 0.1
+    resid_dropout: float = 0.0
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, input_ids: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h, embed = HyenaLMBackbone(
             self.d_model, self.n_layer, self.vocab_size, self.l_max,
             attn_layer_idx=self.attn_layer_idx, hyena_kwargs=self.hyena_kwargs,
+            embed_dropout=self.embed_dropout, resid_dropout=self.resid_dropout,
             dtype=self.dtype, name="backbone",
-        )(input_ids)
+        )(input_ids, train=train)
         logits = h @ embed.astype(h.dtype).T
         return logits.astype(jnp.float32)

@@ -62,6 +62,60 @@ _VMEM_BUDGET = int(os.environ.get("CADUCEUS_SCAN_VMEM_BUDGET", 8 * 1024 * 1024))
 # Forward kernel
 # ===========================================================================
 
+def _pick_unroll(T: int, requested: int) -> int:
+    """Largest divisor of T that is <= requested."""
+    u = max(1, min(requested, T))
+    while T % u != 0:
+        u -= 1
+    return u
+
+
+# Slab starts are dynamic sublane offsets into fp32 scratch: Mosaic needs
+# them provably 8-aligned, so unrolls must be multiples of 8.
+_FWD_UNROLL = int(os.environ.get("CADUCEUS_SCAN_UNROLL", 8))
+_BWD_UNROLL = int(os.environ.get("CADUCEUS_SCAN_UNROLL_BWD", 8))
+
+
+def _scan_chunk_loop_multi(dirs, h0s, *, T, U):
+    """Slab-unrolled in-chunk selective-scan recurrence, n directions at once.
+
+    ``dirs`` is a list of (delta_s, du_s, bc_s, y_s, A, reverse) tuples (all
+    fp32 refs/values); ``h0s`` the matching (Gb, N, d) carry values.
+
+    Processes U positions per fori_loop iteration: the exp/broadcast/outer-
+    product/output-reduction work is batched over the (Gb, U, N, d) slab
+    (streaming VPU ops, no loop-carried dependency), leaving only the U
+    chained 2-op FMAs `h = dA*h + v` serialized per direction. This is the
+    difference between ~48 serialized VPU instructions per position
+    (round-1 kernel, one position per iteration) and a handful; multiple
+    directions interleave their FMA chains for extra ILP.
+
+    Returns the tuple of final h values.
+    """
+
+    def body(i, carry):
+        out = []
+        for (delta_s, du_s, bc_s, y_s, A, reverse), h in zip(dirs, carry):
+            t0 = pl.multiple_of((T - (i + 1) * U) if reverse else i * U, U)
+            d_u = delta_s[:, pl.ds(t0, U), :]                   # (Gb, U, d)
+            dA_u = jnp.exp(d_u[:, :, None, :] * A[None, None])  # (Gb, U, N, d)
+            B_u = bc_s[:, 0, pl.ds(t0, U), :]                   # (Gb, U, N)
+            du_u = du_s[:, pl.ds(t0, U), :]
+            v_u = B_u[..., None] * du_u[:, :, None, :]          # (Gb, U, N, d)
+            hs = [None] * U
+            order = range(U - 1, -1, -1) if reverse else range(U)
+            for j in order:
+                h = dA_u[:, j] * h + v_u[:, j]
+                hs[j] = h
+            h_stack = jnp.stack(hs, axis=1) if U > 1 else hs[0][:, None]
+            C_u = bc_s[:, 1, pl.ds(t0, U), :]
+            y_s[:, pl.ds(t0, U), :] = jnp.sum(C_u[..., None] * h_stack, axis=2)
+            out.append(h)
+        return tuple(out)
+
+    return jax.lax.fori_loop(0, T // U, body, tuple(h0s))
+
+
 def _fwd_kernel(
     *refs,
     T: int,
@@ -105,18 +159,10 @@ def _fwd_kernel(
     bc_s[:, 1] = C_ref[...].astype(jnp.float32)
     A = A_ref[...]                               # (N, d)
 
-    def step(k, h):
-        t = (T - 1 - k) if reverse else k
-        d_t = delta_s[:, pl.ds(t, 1), :][:, 0, :]      # (Gb, d)
-        dA = jnp.exp(d_t[:, None, :] * A[None])        # (Gb, N, d)
-        B_t = bc_s[:, 0, pl.ds(t, 1), :][:, 0, :]      # (Gb, N)
-        du_t = du_s[:, pl.ds(t, 1), :][:, 0, :]        # (Gb, d)
-        h = dA * h + B_t[..., None] * du_t[:, None, :]
-        C_t = bc_s[:, 1, pl.ds(t, 1), :][:, 0, :]
-        y_s[:, pl.ds(t, 1), :] = jnp.sum(C_t[..., None] * h, axis=1)[:, None, :]
-        return h
-
-    h = jax.lax.fori_loop(0, T, step, h_scratch[...])
+    (h,) = _scan_chunk_loop_multi(
+        [(delta_s, du_s, bc_s, y_s, A, reverse)], [h_scratch[...]],
+        T=T, U=_pick_unroll(T, _FWD_UNROLL),
+    )
     h_scratch[...] = h
 
     y = y_s[...] + D_ref[0][None, None, :] * u
@@ -261,6 +307,107 @@ def selective_scan_pallas_fwd_impl(
 # Backward kernel
 # ===========================================================================
 
+def _bwd_recompute_loop_multi(dirs, h0s, *, T, U):
+    """Phase 1 of the backward pass: slab-unrolled forward recompute of h
+    and dA over the chunk, for n directions at once.
+
+    ``dirs``: list of (delta_s, du_s, bc_s, h_s, dA_s, A, reverse); h_s and
+    dA_s are bf16 (Gb, T, N, d) stores, the rest fp32.
+    """
+
+    def body(i, carry):
+        out = []
+        for (delta_s, du_s, bc_s, h_s, dA_s, A, reverse), h in zip(dirs, carry):
+            t0 = pl.multiple_of((T - (i + 1) * U) if reverse else i * U, U)
+            d_u = delta_s[:, pl.ds(t0, U), :]
+            dA_u = jnp.exp(d_u[:, :, None, :] * A[None, None])
+            B_u = bc_s[:, 0, pl.ds(t0, U), :]
+            du_u = du_s[:, pl.ds(t0, U), :]
+            v_u = B_u[..., None] * du_u[:, :, None, :]
+            hs = [None] * U
+            order = range(U - 1, -1, -1) if reverse else range(U)
+            for j in order:
+                h = dA_u[:, j] * h + v_u[:, j]
+                hs[j] = h
+            h_stack = jnp.stack(hs, axis=1) if U > 1 else hs[0][:, None]
+            h_s[:, pl.ds(t0, U)] = h_stack.astype(h_s.dtype)
+            dA_s[:, pl.ds(t0, U)] = dA_u.astype(dA_s.dtype)
+            out.append(h)
+        return tuple(out)
+
+    return jax.lax.fori_loop(0, T // U, body, tuple(h0s))
+
+
+def _bwd_adjoint_loop_multi(dirs, lam0s, gA0s, *, T, U):
+    """Phase 2 of the backward pass: slab-unrolled reverse (in scan time)
+    adjoint sweep, for n directions at once.
+
+    ``dirs``: list of (delta_s, du_s, bc_s, gy_s, h_s, dA_s, gu_s, gdelta_s,
+    gbc_s, A, h0, reverse). Only the 2-op lam chain is serialized; all
+    gradient contractions batch over the (Gb, U, N, d) slab. Returns the
+    list of (lam, gA_acc) finals.
+    """
+
+    n = len(dirs)
+
+    def body(i, carry):
+        out = []
+        for k in range(n):
+            (delta_s, du_s, bc_s, gy_s, h_s, dA_s, gu_s, gdelta_s, gbc_s,
+             A, h0, reverse) = dirs[k]
+            lam, gA_acc = carry[2 * k], carry[2 * k + 1]
+            # slab covering scan-order positions [T-(i+1)U, T-iU)
+            t0 = pl.multiple_of(i * U if reverse else T - (i + 1) * U, U)
+            gy_u = gy_s[:, pl.ds(t0, U), :]                    # (Gb, U, d)
+            C_u = bc_s[:, 1, pl.ds(t0, U), :]                  # (Gb, U, N)
+            Cgy_u = C_u[..., None] * gy_u[:, :, None, :]       # (Gb, U, N, d)
+            dA_u = dA_s[:, pl.ds(t0, U)].astype(jnp.float32)
+            lam_incs = [None] * U
+            # scan-backward order expressed in array coordinates
+            order = range(U) if reverse else range(U - 1, -1, -1)
+            for j in order:
+                lam_inc = lam + Cgy_u[:, j]
+                lam_incs[j] = lam_inc
+                lam = dA_u[:, j] * lam_inc
+            lam_stack = (jnp.stack(lam_incs, axis=1) if U > 1
+                         else lam_incs[0][:, None])
+            h_u = h_s[:, pl.ds(t0, U)].astype(jnp.float32)
+            # h_prev in scan order: array t-1 (forward) / t+1 (reverse);
+            # the chunk-entry state h0 feeds the scan-first position.
+            if reverse:
+                hb_t = jnp.minimum(t0 + U, T - 1)
+                hb_mem = h_s[:, pl.ds(hb_t, 1)][:, 0].astype(jnp.float32)
+                hb = jnp.where(t0 + U == T, h0, hb_mem)
+                h_prev_u = jnp.concatenate([h_u[:, 1:], hb[:, None]], axis=1)
+            else:
+                hb_t = jnp.maximum(t0 - 1, 0)
+                hb_mem = h_s[:, pl.ds(hb_t, 1)][:, 0].astype(jnp.float32)
+                hb = jnp.where(t0 == 0, h0, hb_mem)
+                h_prev_u = jnp.concatenate([hb[:, None], h_u[:, : U - 1]],
+                                           axis=1)
+            B_u = bc_s[:, 0, pl.ds(t0, U), :]
+            du_u = du_s[:, pl.ds(t0, U), :]
+            d_u = delta_s[:, pl.ds(t0, U), :]
+            gC_u = jnp.sum(h_u * gy_u[:, :, None, :], axis=3)        # (Gb,U,N)
+            gB_u = jnp.sum(lam_stack * du_u[:, :, None, :], axis=3)  # (Gb,U,N)
+            g_du_u = jnp.sum(lam_stack * B_u[..., None], axis=2)     # (Gb,U,d)
+            lam_h_u = lam_stack * dA_u * h_prev_u                    # (Gb,U,N,d)
+            g_dd_u = jnp.sum(lam_h_u * A[None, None], axis=2)        # (Gb,U,d)
+            gu_s[:, pl.ds(t0, U), :] = g_du_u
+            gdelta_s[:, pl.ds(t0, U), :] = g_dd_u
+            gbc_s[:, 0, pl.ds(t0, U), :] = gB_u
+            gbc_s[:, 1, pl.ds(t0, U), :] = gC_u
+            gA_acc = gA_acc + jnp.sum(lam_h_u * d_u[:, :, None, :],
+                                      axis=(0, 1))
+            out.extend([lam, gA_acc])
+        return tuple(out)
+
+    flat = []
+    for lam, gA in zip(lam0s, gA0s):
+        flat.extend([lam, gA])
+    res = jax.lax.fori_loop(0, T // U, body, tuple(flat))
+    return [(res[2 * k], res[2 * k + 1]) for k in range(n)]
+
 def _bwd_kernel(
     u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, gy_ref, car_ref,
     gu_ref, gdelta_ref, gB_ref, gC_ref, gA_ref, gD_ref, gbias_ref,
@@ -298,66 +445,24 @@ def _bwd_kernel(
     gy_s[...] = gy_ref[...].astype(jnp.float32)
 
     # ---- phase 1: forward recompute of h and dA over the chunk ----
-    def fstep(k, h):
-        t = (T - 1 - k) if reverse else k
-        d_t = delta_s[:, pl.ds(t, 1), :][:, 0, :]
-        dA = jnp.exp(d_t[:, None, :] * A[None])
-        B_t = bc_s[:, 0, pl.ds(t, 1), :][:, 0, :]
-        du_t = du_s[:, pl.ds(t, 1), :][:, 0, :]
-        h = dA * h + B_t[..., None] * du_t[:, None, :]
-        h_s[:, pl.ds(t, 1)] = h[:, None].astype(h_s.dtype)
-        dA_s[:, pl.ds(t, 1)] = dA[:, None].astype(dA_s.dtype)
-        return h
-
-    jax.lax.fori_loop(0, T, fstep, h0)
+    U = _pick_unroll(T, _BWD_UNROLL)
+    _bwd_recompute_loop_multi(
+        [(delta_s, du_s, bc_s, h_s, dA_s, A, reverse)], [h0], T=T, U=U,
+    )
 
     # ---- phase 2: reverse sweep — only what truly needs the time loop.
     # Everything position-local (softplus chain, D-term of g_u, the g_delta
     # du-part, accumulator reductions) is hoisted to chunk-wide epilogue
-    # vector ops; the loop stages the lam-dependent raw pieces:
+    # vector ops; the slab loop stages the lam-dependent raw pieces:
     #   gdelta_s[t] <- sum_n lam*dA*A*h[t-1]   (decay part, pre-chain)
     #   gu_s[t]     <- sum_n lam*B             (g_du; epilogue builds g_u/g_delta)
     #   gbc_s       <- g_B, g_C
-    #   gA via per-step accumulate (needs lam ⊗ h[t-1] ⊗ delta)
-    def bstep(k, carry):
-        lam, gA_acc = carry
-        # scan-order index o runs T-1 .. 0; array index t mirrors for reverse
-        o = T - 1 - k
-        t = (T - 1 - o) if reverse else o
-        t_prev = (T - 1 - (o - 1)) if reverse else (o - 1)
-
-        gy_t = gy_s[:, pl.ds(t, 1), :][:, 0, :]              # (Gb, d)
-        C_t = bc_s[:, 1, pl.ds(t, 1), :][:, 0, :]            # (Gb, N)
-        h_t = h_s[:, pl.ds(t, 1)][:, 0].astype(jnp.float32)  # (Gb, N, d)
-        dA_t = dA_s[:, pl.ds(t, 1)][:, 0].astype(jnp.float32)
-        B_t = bc_s[:, 0, pl.ds(t, 1), :][:, 0, :]
-        du_t = du_s[:, pl.ds(t, 1), :][:, 0, :]
-        d_t = delta_s[:, pl.ds(t, 1), :][:, 0, :]
-
-        lam_inc = lam + C_t[..., None] * gy_t[:, None, :]    # (Gb, N, d)
-
-        # h[t-1]: previous in scan order; chunk entry state at o == 0
-        tp = jnp.clip(t_prev, 0, T - 1)
-        h_prev_mem = h_s[:, pl.ds(tp, 1)][:, 0].astype(jnp.float32)
-        h_prev = jnp.where(o == 0, h0, h_prev_mem)
-
-        gC_t = jnp.sum(h_t * gy_t[:, None, :], axis=2)       # (Gb, N)
-        gB_t = jnp.sum(lam_inc * du_t[:, None, :], axis=2)   # (Gb, N)
-        g_du = jnp.sum(lam_inc * B_t[..., None], axis=1)     # (Gb, d)
-        lam_h = lam_inc * dA_t * h_prev                      # (Gb, N, d)
-        g_delta_decay = jnp.sum(lam_h * A[None], axis=1)     # (Gb, d)
-
-        gu_s[:, pl.ds(t, 1), :] = g_du[:, None, :]
-        gdelta_s[:, pl.ds(t, 1), :] = g_delta_decay[:, None, :]
-        gbc_s[:, 0, pl.ds(t, 1), :] = gB_t[:, None, :]
-        gbc_s[:, 1, pl.ds(t, 1), :] = gC_t[:, None, :]
-
-        gA_acc = gA_acc + jnp.sum(lam_h * d_t[:, None, :], axis=0)  # (N, d)
-        lam = dA_t * lam_inc
-        return lam, gA_acc
-
-    lam0 = lam_s[...]
-    lam, gA_acc = jax.lax.fori_loop(0, T, bstep, (lam0, jnp.zeros_like(acc_s[2:])))
+    #   gA via per-slab accumulate (needs lam ⊗ h[t-1] ⊗ delta)
+    [(lam, gA_acc)] = _bwd_adjoint_loop_multi(
+        [(delta_s, du_s, bc_s, gy_s, h_s, dA_s, gu_s, gdelta_s, gbc_s,
+          A, h0, reverse)],
+        [lam_s[...]], [jnp.zeros_like(acc_s[2:])], T=T, U=U,
+    )
     lam_s[...] = lam
 
     # ---- epilogue: chunk-wide vector ops over (Gb, T, d) ----

@@ -23,7 +23,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from caduceus_tpu.ops.scan_pallas import _VMEM_BUDGET
+from caduceus_tpu.ops.scan_pallas import (
+    _BWD_UNROLL,
+    _FWD_UNROLL,
+    _VMEM_BUDGET,
+    _bwd_adjoint_loop_multi,
+    _bwd_recompute_loop_multi,
+    _pick_unroll,
+    _scan_chunk_loop_multi,
+)
 
 
 def _bidir_fwd_kernel(
@@ -68,23 +76,14 @@ def _bidir_fwd_kernel(
     uf = precompute(uf_ref, df_ref, Bf_ref, Cf_ref, df_s, duf_s, bcf_s, 0)
     ur = precompute(ur_ref, dr_ref, Br_ref, Cr_ref, dr_s, dur_s, bcr_s, 1)
 
-    def one(d_s_, du_s_, bc_s_, y_s_, A, t, h):
-        d_t = d_s_[:, pl.ds(t, 1), :][:, 0, :]
-        dA = jnp.exp(d_t[:, None, :] * A[None])
-        B_t = bc_s_[:, 0, pl.ds(t, 1), :][:, 0, :]
-        du_t = du_s_[:, pl.ds(t, 1), :][:, 0, :]
-        h = dA * h + B_t[..., None] * du_t[:, None, :]
-        C_t = bc_s_[:, 1, pl.ds(t, 1), :][:, 0, :]
-        y_s_[:, pl.ds(t, 1), :] = jnp.sum(C_t[..., None] * h, axis=1)[:, None, :]
-        return h
-
-    def step(k, carry):
-        hf, hr = carry
-        hf = one(df_s, duf_s, bcf_s, yf_s, Af, k, hf)
-        hr = one(dr_s, dur_s, bcr_s, yr_s, Ar, T - 1 - k, hr)
-        return hf, hr
-
-    hf, hr = jax.lax.fori_loop(0, T, step, (hf_s[...], hr_s[...]))
+    hf, hr = _scan_chunk_loop_multi(
+        [
+            (df_s, duf_s, bcf_s, yf_s, Af, False),
+            (dr_s, dur_s, bcr_s, yr_s, Ar, True),
+        ],
+        [hf_s[...], hr_s[...]],
+        T=T, U=_pick_unroll(T, _FWD_UNROLL),
+    )
     hf_s[...] = hf
     hr_s[...] = hr
 
@@ -262,73 +261,26 @@ def _bidir_bwd_kernel(
         bcr_s, gyr_s, 1)
 
     # ---- phase 1: forward recompute of h and dA, both directions ----
-    def fstep_one(d_s_, du_s_, bc_s_, h_s_, dA_s_, A, t, h):
-        d_t = d_s_[:, pl.ds(t, 1), :][:, 0, :]
-        dA = jnp.exp(d_t[:, None, :] * A[None])
-        B_t = bc_s_[:, 0, pl.ds(t, 1), :][:, 0, :]
-        du_t = du_s_[:, pl.ds(t, 1), :][:, 0, :]
-        h = dA * h + B_t[..., None] * du_t[:, None, :]
-        h_s_[:, pl.ds(t, 1)] = h[:, None].astype(h_s_.dtype)
-        dA_s_[:, pl.ds(t, 1)] = dA[:, None].astype(dA_s_.dtype)
-        return h
-
-    def fstep(k, carry):
-        hf, hr = carry
-        hf = fstep_one(deltaf_s, duf_s, bcf_s, hf_s, dAf_s, Af, k, hf)
-        hr = fstep_one(deltar_s, dur_s, bcr_s, hr_s, dAr_s, Ar, T - 1 - k, hr)
-        return hf, hr
-
-    jax.lax.fori_loop(0, T, fstep, (h0f, h0r))
+    U = _pick_unroll(T, _BWD_UNROLL)
+    _bwd_recompute_loop_multi(
+        [
+            (deltaf_s, duf_s, bcf_s, hf_s, dAf_s, Af, False),
+            (deltar_s, dur_s, bcr_s, hr_s, dAr_s, Ar, True),
+        ],
+        [h0f, h0r], T=T, U=U,
+    )
 
     # ---- phase 2: reverse sweep, both directions interleaved ----
-    def bstep_one(gy_s_, bc_s_, h_s_, dA_s_, du_s_, d_s_, gu_s_, gd_s_,
-                  gbc_s_, A, h0, t, t_prev, is_first, lam, gA_acc):
-        gy_t = gy_s_[:, pl.ds(t, 1), :][:, 0, :]
-        C_t = bc_s_[:, 1, pl.ds(t, 1), :][:, 0, :]
-        h_t = h_s_[:, pl.ds(t, 1)][:, 0].astype(jnp.float32)
-        dA_t = dA_s_[:, pl.ds(t, 1)][:, 0].astype(jnp.float32)
-        B_t = bc_s_[:, 0, pl.ds(t, 1), :][:, 0, :]
-        du_t = du_s_[:, pl.ds(t, 1), :][:, 0, :]
-        d_t = d_s_[:, pl.ds(t, 1), :][:, 0, :]
-
-        lam_inc = lam + C_t[..., None] * gy_t[:, None, :]
-        tp = jnp.clip(t_prev, 0, T - 1)
-        h_prev_mem = h_s_[:, pl.ds(tp, 1)][:, 0].astype(jnp.float32)
-        h_prev = jnp.where(is_first, h0, h_prev_mem)
-
-        gC_t = jnp.sum(h_t * gy_t[:, None, :], axis=2)
-        gB_t = jnp.sum(lam_inc * du_t[:, None, :], axis=2)
-        g_du = jnp.sum(lam_inc * B_t[..., None], axis=1)
-        lam_h = lam_inc * dA_t * h_prev
-        g_delta_decay = jnp.sum(lam_h * A[None], axis=1)
-
-        gu_s_[:, pl.ds(t, 1), :] = g_du[:, None, :]
-        gd_s_[:, pl.ds(t, 1), :] = g_delta_decay[:, None, :]
-        gbc_s_[:, 0, pl.ds(t, 1), :] = gB_t[:, None, :]
-        gbc_s_[:, 1, pl.ds(t, 1), :] = gC_t[:, None, :]
-
-        gA_acc = gA_acc + jnp.sum(lam_h * d_t[:, None, :], axis=0)
-        lam = dA_t * lam_inc
-        return lam, gA_acc
-
-    def bstep(k, carry):
-        lamf, lamr, gAf_acc, gAr_acc = carry
-        o = T - 1 - k
-        lamf, gAf_acc = bstep_one(
-            gyf_s, bcf_s, hf_s, dAf_s, duf_s, deltaf_s, guf_s, gdf_s, gbcf_s,
-            Af, h0f, o, o - 1, o == 0, lamf, gAf_acc,
-        )
-        t_r = T - 1 - o
-        lamr, gAr_acc = bstep_one(
-            gyr_s, bcr_s, hr_s, dAr_s, dur_s, deltar_s, gur_s, gdr_s, gbcr_s,
-            Ar, h0r, t_r, t_r + 1, o == 0, lamr, gAr_acc,
-        )
-        return lamf, lamr, gAf_acc, gAr_acc
-
-    lamf, lamr, gAf_acc, gAr_acc = jax.lax.fori_loop(
-        0, T, bstep,
-        (lamf_s[...], lamr_s[...], jnp.zeros_like(accf_s[2:]),
-         jnp.zeros_like(accr_s[2:])),
+    [(lamf, gAf_acc), (lamr, gAr_acc)] = _bwd_adjoint_loop_multi(
+        [
+            (deltaf_s, duf_s, bcf_s, gyf_s, hf_s, dAf_s, guf_s, gdf_s,
+             gbcf_s, Af, h0f, False),
+            (deltar_s, dur_s, bcr_s, gyr_s, hr_s, dAr_s, gur_s, gdr_s,
+             gbcr_s, Ar, h0r, True),
+        ],
+        [lamf_s[...], lamr_s[...]],
+        [jnp.zeros_like(accf_s[2:]), jnp.zeros_like(accr_s[2:])],
+        T=T, U=U,
     )
     lamf_s[...] = lamf
     lamr_s[...] = lamr

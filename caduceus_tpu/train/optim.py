@@ -36,16 +36,139 @@ _NO_DECAY_TOKENS = (
 )
 
 
+def _path_names(path):
+    return [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+
+
 def weight_decay_mask(params: Any) -> Any:
     """True where weight decay applies (2D+ kernels only)."""
 
     def decide(path, leaf) -> bool:
-        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        names = _path_names(path)
         if any(n in _NO_DECAY_TOKENS for n in names):
             return False
         return jnp.ndim(leaf) >= 2
 
     return jax.tree_util.tree_map_with_path(decide, params)
+
+
+# ---------------------------------------------------------------------------
+# Per-parameter optimizer hyperparameters
+#
+# The reference registers per-param lr/wd via mutable `_optim` tags
+# (`src/utils/train.py:154-170` OptimModule.register; consumed by
+# `train.py:460-541`), e.g. the Hyena implicit-filter MLP (lr=`layer.lr`,
+# wd=0 — `src/models/sequence/hyena.py:211`, `configs/model/hyena.yaml:22-24`)
+# and the positional embedding z (lr_pos_emb; frozen when 0 —
+# `hyena.py:114-115`). Here the same effect is an optax transform scaling the
+# post-AdamW *update* leaf-wise: Adam's normalized update times factor f is
+# exactly AdamW with base_lr*f (wd scales along, matching the reference's
+# wd=0 on every registered group). factor 0.0 == register_buffer (frozen).
+# ---------------------------------------------------------------------------
+
+def lr_multiplier_tree(params: Any, base_lr: float, overrides) -> Any:
+    """Build a per-leaf lr-factor tree.
+
+    ``overrides``: sequence of (match, lr) pairs, first match wins; ``match``
+    is a substring tested against the "/".join(path) or a callable
+    names->bool; ``lr`` is the absolute learning rate for that group (the
+    reference's `_optim["lr"]`), converted to a factor of ``base_lr``.
+    """
+
+    def decide(path, leaf):
+        names = _path_names(path)
+        joined = "/".join(names)
+        for match, lr in overrides:
+            hit = match(names) if callable(match) else (match in joined)
+            if hit:
+                return float(lr) / float(base_lr) if base_lr else 0.0
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def lr_override_membership(params: Any, overrides) -> Any:
+    """True where any override group matched (these carry wd=0 in the
+    reference regardless of their lr — `src/utils/train.py:157`)."""
+
+    def decide(path, leaf):
+        names = _path_names(path)
+        joined = "/".join(names)
+        return any(
+            (m(names) if callable(m) else (m in joined)) for m, _ in overrides
+        )
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def layer_decay_multipliers(params: Any, decay: float,
+                            get_layer_id=None) -> Any:
+    """Layer-wise lr decay (`train.py:496-541`): lr · decay^(max_layer - id).
+
+    ``get_layer_id(names) -> int`` maps a param path to its layer index;
+    the default parses the `layers_{i}` / `mixer_{i}` / `ln1_{i}` naming of
+    this package's backbones (embedding = layer 0, head = max layer, like
+    the reference's `get_num_layer`).
+    """
+    import re
+
+    def default_layer_id(names):
+        for n in names:
+            m = re.fullmatch(r"(?:layers|mixer|ln1|ln2|mlp)_(\d+)", n)
+            if m:
+                return int(m.group(1)) + 1
+        if any(n in ("embedding", "pos_embedding") for n in names):
+            return 0
+        return None  # head / final norm → max layer
+
+    get_layer_id = get_layer_id or default_layer_id
+    ids = []
+
+    def collect(path, leaf):
+        lid = get_layer_id(_path_names(path))
+        ids.append(lid if lid is not None else -1)
+        return lid
+
+    id_tree = jax.tree_util.tree_map_with_path(collect, params)
+    max_id = max((i for i in ids if i >= 0), default=0) + 1
+
+    def to_factor(lid):
+        lid = max_id if lid is None else lid
+        return decay ** (max_id - lid)
+
+    return jax.tree_util.tree_map(to_factor, id_tree,
+                                  is_leaf=lambda x: x is None or isinstance(x, int))
+
+
+def hyena_lr_overrides(base_lr: float, lr_filter: Optional[float] = None,
+                       lr_pos_emb: float = 0.0,
+                       modulation_lr: float = 0.0):
+    """The reference Hyena `_optim` groups (`configs/model/hyena.yaml:22-24`,
+    `src/models/sequence/hyena.py:108-137,211`): implicit-filter MLP at
+    ``lr_filter`` (default = base lr) with wd 0, pos-emb z at ``lr_pos_emb``
+    (0 = frozen buffer), modulation deltas at ``modulation_lr`` (0 = frozen).
+    """
+    lr_filter = base_lr if lr_filter is None else lr_filter
+    return [
+        (lambda names: "filter_fn" in names and "pos_emb_z" in names, lr_pos_emb),
+        (lambda names: "filter_fn" in names and "deltas" in names, modulation_lr),
+        (lambda names: "filter_fn" in names, lr_filter),
+    ]
+
+
+def scale_updates_by_tree(factors: Any) -> optax.GradientTransformation:
+    """Multiply each update leaf by its factor (per-param lr realization)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        scaled = jax.tree_util.tree_map(
+            lambda u, f: u * jnp.asarray(f, u.dtype), updates, factors
+        )
+        return scaled, state
+
+    return optax.GradientTransformation(init, update)
 
 
 def cosine_warmup_schedule(
@@ -139,8 +262,15 @@ def make_optimizer(
     gradient_clip: Optional[float] = 1.0,
     params_example: Any = None,
     schedule_name: str = "cosine_warmup_timm",
+    lr_overrides=None,
+    layer_decay: Optional[float] = None,
 ):
-    """AdamW + LR schedule + clipping; returns (tx, schedule_fn)."""
+    """AdamW + LR schedule + clipping; returns (tx, schedule_fn).
+
+    ``lr_overrides`` (list of (match, lr), see :func:`lr_multiplier_tree`)
+    and ``layer_decay`` reproduce the reference's `_optim` param groups and
+    layer-wise lr decay; both require ``params_example``.
+    """
     if schedule_name in ("cosine_warmup", "cosine_warmup_timm"):
         schedule = cosine_warmup_schedule(lr, warmup_t, t_initial, lr_min, warmup_lr_init)
     elif schedule_name == "constant":
@@ -153,7 +283,33 @@ def make_optimizer(
         schedule = inv_sqrt_schedule(lr, warmup_t, warmup_lr_init)
     else:
         raise KeyError(f"unknown schedule: {schedule_name} (have {list(SCHEDULE_REGISTRY)})")
-    mask = weight_decay_mask if params_example is None else weight_decay_mask(params_example)
+    override_factors = None
+    factors = None
+    if lr_overrides or layer_decay is not None:
+        assert params_example is not None, (
+            "lr_overrides/layer_decay need params_example to build the "
+            "per-leaf factor tree"
+        )
+        factors = jax.tree_util.tree_map(lambda _: 1.0, params_example)
+        if lr_overrides:
+            override_factors = lr_multiplier_tree(params_example, lr, lr_overrides)
+            factors = override_factors
+        if layer_decay is not None:
+            # layer-decay groups KEEP weight decay (`train.py:503-508`)
+            ld = layer_decay_multipliers(params_example, layer_decay)
+            factors = jax.tree_util.tree_map(lambda a, b: a * b, factors, ld)
+
+    if params_example is None:
+        mask = weight_decay_mask
+    else:
+        mask = weight_decay_mask(params_example)
+        if lr_overrides:
+            # `_optim` override groups carry wd=0 in the reference
+            # (`src/utils/train.py:157` register defaults wd=0.0)
+            member = lr_override_membership(params_example, lr_overrides)
+            mask = jax.tree_util.tree_map(
+                lambda m, o: bool(m) and not o, mask, member
+            )
     chain = []
     if gradient_clip is not None:
         chain.append(optax.clip_by_global_norm(gradient_clip))
@@ -167,4 +323,6 @@ def make_optimizer(
             mask=mask,
         )
     )
+    if factors is not None:
+        chain.append(scale_updates_by_tree(factors))
     return optax.chain(*chain), schedule

@@ -53,15 +53,26 @@ def make_train_step(
     ignore_index: int = 4,
     accum_steps: int = 1,
     ema_decay: float = 0.0,
+    dropout: bool = False,
+    dropout_seed: int = 0,
 ):
     """Build the jitted train step.
 
     batch["input_ids"]/["targets"]: (accum*B, L) — reshaped to
     (accum, B, L) internally when accum_steps > 1.
+
+    ``dropout=True`` threads a per-(step, microbatch) dropout rng and calls
+    the model with ``train=True`` (for models with dropout layers, e.g.
+    ``HyenaLMHeadModel`` — reference embed/resid dropout at
+    `src/models/sequence/long_conv_lm.py:252-253`).
     """
 
-    def loss_fn(params, input_ids, targets):
-        logits = apply_fn(params, input_ids)
+    def loss_fn(params, input_ids, targets, rng):
+        if dropout:
+            logits = apply_fn(params, input_ids, train=True,
+                              rngs={"dropout": rng})
+        else:
+            logits = apply_fn(params, input_ids)
         loss, aux = cross_entropy_loss(logits, targets, ignore_index=ignore_index)
         correct = accuracy(logits, targets, ignore_index=ignore_index)
         aux["acc"] = correct
@@ -71,6 +82,8 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> tuple:
         ids, tgt = batch["input_ids"], batch["targets"]
+        step_rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed),
+                                      state.step)
         if accum_steps > 1:
             nb = ids.shape[0] // accum_steps
             ids = ids.reshape(accum_steps, nb, *ids.shape[1:])
@@ -78,12 +91,15 @@ def make_train_step(
 
             def micro(carry, xt):
                 g_acc, l_acc, a_acc = carry
-                (l, aux), g = grad_fn(state.params, xt[0], xt[1])
+                rng = jax.random.fold_in(step_rng, xt[2])
+                (l, aux), g = grad_fn(state.params, xt[0], xt[1], rng)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
                 return (g_acc, l_acc + l, a_acc + aux["acc"]), aux
 
             zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (g, loss, acc), auxes = jax.lax.scan(micro, (zero, 0.0, 0.0), (ids, tgt))
+            (g, loss, acc), auxes = jax.lax.scan(
+                micro, (zero, 0.0, 0.0), (ids, tgt, jnp.arange(accum_steps))
+            )
             g = jax.tree_util.tree_map(lambda t: t / accum_steps, g)
             loss = loss / accum_steps
             acc = acc / accum_steps
@@ -93,7 +109,7 @@ def make_train_step(
                 "acc": acc,
             }
         else:
-            (loss, aux), g = grad_fn(state.params, ids, tgt)
+            (loss, aux), g = grad_fn(state.params, ids, tgt, step_rng)
 
         updates, new_opt = tx.update(g, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -1,0 +1,111 @@
+"""Stepwise (recurrent) inference vs full-scan forward.
+
+The reference exposes this path through mamba-ssm's ``Mamba.step`` /
+``allocate_inference_cache`` (`caduceus/modeling_rcps.py:201-206`) and
+generation on `src/models/sequence/long_conv_lm.py:391-493`.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from caduceus_tpu.config import CaduceusConfig, SSMConfig
+from caduceus_tpu.inference import generate, init_cache, lm_step, prefill
+from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
+from caduceus_tpu.tokenization import CaduceusTokenizer
+
+
+def _causal_cfg(**kw):
+    tok = CaduceusTokenizer()
+    kw.setdefault("d_model", 32)
+    kw.setdefault("n_layer", 2)
+    return CaduceusConfig(
+        vocab_size=tok.vocab_size,
+        bidirectional=False,
+        rcps=False,
+        complement_map=tok.complement_map,
+        dtype="float32",
+        param_dtype="float32",
+        ssm_cfg=SSMConfig(use_kernel="xla"),
+        **kw,
+    )
+
+
+def test_step_matches_full_scan():
+    cfg = _causal_cfg()
+    model = CaduceusForMaskedLM(cfg)
+    B, L = 2, 40
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, L), 7, 11)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    full_logits = model.apply(params, ids)  # (B, L, V)
+
+    caches = init_cache(cfg, B)
+    step = jax.jit(lambda tok, c: lm_step(params, cfg, tok, c))
+    outs = []
+    for t in range(L):
+        logits_t, caches = step(ids[:, t], caches)
+        outs.append(logits_t)
+    step_logits = jnp.stack(outs, axis=1)
+
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full_logits), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_prefill_matches_loop():
+    cfg = _causal_cfg(n_layer=1)
+    model = CaduceusForMaskedLM(cfg)
+    B, L = 1, 16
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, L), 7, 11)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    last_logits, caches = prefill(params, cfg, ids)
+    full_logits = model.apply(params, ids)
+    np.testing.assert_allclose(
+        np.asarray(last_logits), np.asarray(full_logits[:, -1]),
+        atol=2e-4, rtol=1e-3,
+    )
+    # caches advanced: ssm state nonzero
+    assert float(jnp.abs(caches["layers_0"]["fwd"]["ssm"]).max()) > 0
+
+
+def test_generate_greedy_deterministic():
+    cfg = _causal_cfg(n_layer=1, d_model=16)
+    model = CaduceusForMaskedLM(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 7, 11)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    out1 = generate(params, cfg, ids, max_new_tokens=6)
+    out2 = generate(params, cfg, ids, max_new_tokens=6)
+    assert out1.shape == (2, 14)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    np.testing.assert_array_equal(np.asarray(out1[:, :8]), np.asarray(ids))
+
+    # greedy continuation must equal argmax of the full forward at each step
+    full = model.apply(params, out1[:, :-1])
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(full[:, 7:], axis=-1)), np.asarray(out1[:, 8:])
+    )
+
+
+def test_generate_sampling_respects_top_k():
+    cfg = _causal_cfg(n_layer=1, d_model=16)
+    model = CaduceusForMaskedLM(cfg)
+    ids = jnp.full((1, 4), 7, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    out = generate(params, cfg, ids, 5, rng=jax.random.PRNGKey(7),
+                   temperature=1.0, top_k=3)
+    assert out.shape == (1, 9)
+
+
+def test_generate_rejects_bidirectional():
+    tok = CaduceusTokenizer()
+    cfg = CaduceusConfig(
+        d_model=16, n_layer=1, vocab_size=tok.vocab_size,
+        bidirectional=True, complement_map=tok.complement_map,
+        dtype="float32", param_dtype="float32",
+    )
+    with pytest.raises(NotImplementedError):
+        generate({}, cfg, jnp.zeros((1, 4), jnp.int32), 2)
