@@ -108,12 +108,18 @@ class SeqClassificationDataset:
         self.seed = seed
         # conjoin semantics from `genomic_bench_dataset.py:87,104-118`:
         # train split conjoins when conjoin_train; eval conjoins when either
-        # flag is set (post-hoc conjoining at test time).
+        # flag is set (post-hoc conjoining at test time). conjoin_test alone
+        # makes the TRAIN split behave like rc_aug (`:87`).
         self.conjoin = conjoin_train if split == "train" else (conjoin_train or conjoin_test)
+        self.rc_flip = (rc_aug or (conjoin_test and split == "train")) and not self.conjoin
         self._complement = self.tokenizer.complement_array()
 
     def __len__(self) -> int:
         return len(self.sequences)
+
+    def seq_length(self, idx: int) -> int:
+        """Valid (unpadded) token count after truncation."""
+        return min(len(self.sequences[idx]) + int(self.add_eos), self.max_length)
 
     def get(self, idx: int, epoch: int = 0) -> Tuple[np.ndarray, np.int32]:
         ids = self.tokenizer.encode_padded(
@@ -124,7 +130,7 @@ class SeqClassificationDataset:
             x = np.stack([ids, rc], axis=-1)  # (L, 2)
         else:
             x = ids
-            if self.rc_aug and self.split == "train":
+            if self.rc_flip:
                 rng = np.random.default_rng((self.seed, epoch, idx))
                 if rng.random() < 0.5:
                     x = self._complement[ids[::-1]]
@@ -195,7 +201,13 @@ class ClassificationDataModule:
         for s in range(0, len(idx) - (self.batch_size - 1 if drop_last else 0), self.batch_size):
             chunk = idx[s : s + self.batch_size]
             xs, ys = zip(*(ds.get(int(i), epoch) for i in chunk))
-            yield {"input_ids": np.stack(xs), "labels": np.asarray(ys, np.int32)}
+            yield {
+                "input_ids": np.stack(xs),
+                "labels": np.asarray(ys, np.int32),
+                "lengths": np.asarray(
+                    [ds.seq_length(int(i)) for i in chunk], np.int32
+                ),
+            }
 
 
 def make_synthetic_classification_task(
@@ -204,19 +216,22 @@ def make_synthetic_classification_task(
 ) -> str:
     """Write a synthetic task (motif-planted) for tests; returns data_dir.
 
-    Class c sequences contain the motif 'ACGTA'*(c+1) at a random position —
-    learnable but not trivial.
+    Class c sequences contain a class-distinct motif at a random position —
+    learnable but not trivial. Motifs are mutually non-overlapping strings
+    (a shared prefix would make classes nested and the task near-margin).
     """
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(out_dir, task), exist_ok=True)
     alphabet = np.array(list("ACGT"))
+    motifs = ["ACGTACGTAC", "TTGGCCTTGG", "GAGAGATCTC", "CCATTACGGT"]
+    assert num_classes <= len(motifs)
 
     def gen(n):
         rows = []
         for _ in range(n):
             c = int(rng.integers(num_classes))
             seq = alphabet[rng.integers(0, 4, seq_len)]
-            motif = list("ACGTA" * (c + 1))
+            motif = list(motifs[c])
             p = int(rng.integers(0, seq_len - len(motif)))
             seq[p : p + len(motif)] = motif
             rows.append(("".join(seq), c))

@@ -22,6 +22,49 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side):
+    """The reference fine-tuning stack: DNAEmbeddingModelCaduceus backbone
+    (`src/models/sequence/dna_embedding.py:156-195`) + SequenceDecoder
+    (`src/tasks/decoders.py:40-161`) with shared-head strand averaging.
+
+    Strand stacking is decided by input rank / config, mirroring the
+    reference's data-driven conjoin dispatch: rcps → canonical strands
+    stacked; (B, L, 2) ids → backbone run per strand; else plain.
+    """
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from caduceus_tpu.models.caduceus import CaduceusBackbone
+    from caduceus_tpu.models.heads import SequenceDecoder
+
+    class DNAClassifier(nn.Module):
+        @nn.compact
+        def __call__(self, ids, lengths=None):
+            backbone = CaduceusBackbone(cfg, name="backbone")
+            dec = SequenceDecoder(
+                num_labels, mode=pooling,
+                use_lengths=use_lengths, padding_side=padding_side,
+                name="decoder",
+            )
+            if not use_lengths:
+                lengths = None
+            if cfg.rcps:
+                h, _ = backbone(ids)  # (2, B, L, d) canonical == the
+                # reference's stacked [h[..., :d], flip(h[..., d:])]
+                # channels (`dna_embedding.py:181-187`)
+                x = jnp.stack([h[0], h[1]], axis=-1)
+            elif ids.ndim == 3:  # conjoined (B, L, 2) strands
+                h_f, _ = backbone(ids[..., 0])
+                h_r, _ = backbone(ids[..., 1])
+                x = jnp.stack([h_f, h_r], axis=-1)
+            else:
+                x, _ = backbone(ids)
+            logits = dec(x, lengths)
+            return logits.astype(jnp.float32)
+
+    return DNAClassifier()
+
+
 def finetune_one(
     cfg,
     dm,
@@ -31,30 +74,32 @@ def finetune_one(
     lr: float = 1e-3,
     weight_decay: float = 0.1,
     pooling: str = "mean",
-    conjoin: bool = False,
     seed: int = 0,
     metric: str = "accuracy",
     problem_type: str = "single_label_classification",
     freeze_backbone: bool = False,
+    use_lengths: bool = False,
+    layer_decay: Optional[float] = None,
     log_fn=None,
 ) -> Dict[str, float]:
-    """Train one classification run; returns best-val and test metrics."""
+    """Train one downstream run; returns best-val and test metrics."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from caduceus_tpu.models.caduceus import CaduceusForSequenceClassification
     from caduceus_tpu.train.checkpoint import load_backbone
-    from caduceus_tpu.train.metrics import f1 as f1_fn, mcc as mcc_fn
+    from caduceus_tpu.train.metrics import f1 as f1_fn, mcc as mcc_fn, roc_auc
     from caduceus_tpu.train.optim import make_optimizer
 
     log = log_fn or (lambda m: print(json.dumps(m)))
-    model = CaduceusForSequenceClassification(
-        cfg, num_labels=num_labels, pooling_strategy=pooling, conjoin=conjoin
-    )
+    padding_side = getattr(dm.tokenizer, "padding_side", "left")
+    model = _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side)
 
     example = next(dm.batches("train", seed=seed))
-    params = model.init(jax.random.PRNGKey(seed), jnp.asarray(example["input_ids"]))
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.asarray(example["input_ids"]),
+        jnp.asarray(example["lengths"]),
+    )
     if pretrained_params is not None:
         params = load_backbone(pretrained_params, params)
 
@@ -63,11 +108,13 @@ def finetune_one(
     tx, _ = make_optimizer(
         lr=lr, weight_decay=weight_decay, betas=(0.9, 0.999),
         warmup_t=max(1, total // 10), t_initial=total, lr_min=lr * 0.01,
+        params_example=params if layer_decay is not None else None,
+        layer_decay=layer_decay,
     )
     opt_state = tx.init(params)
 
-    def loss_fn(p, ids, labels):
-        logits = model.apply(p, ids)
+    def loss_fn(p, ids, labels, lengths):
+        logits = model.apply(p, ids, lengths)
         # problem-type dispatch (`modeling_caduceus.py:612-631`)
         if problem_type == "regression":
             loss = jnp.mean(jnp.square(jnp.squeeze(logits) - jnp.squeeze(labels)))
@@ -87,43 +134,65 @@ def finetune_one(
         )
 
     @jax.jit
-    def train_step(p, o, ids, labels):
-        (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(p, ids, labels)
+    def train_step(p, o, ids, labels, lengths):
+        (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, ids, labels, lengths
+        )
         if freeze_backbone:
             g = zero_backbone_grads(g)
         updates, o = tx.update(g, o, p)
         return optax.apply_updates(p, updates), o, loss
 
     @jax.jit
-    def predict(p, ids):
-        return jnp.argmax(model.apply(p, ids), axis=-1)
+    def predict(p, ids, lengths):
+        return model.apply(p, ids, lengths)  # raw fp32 scores
 
     def eval_split(p, split):
-        preds, labels = [], []
+        scores, labels = [], []
         for batch in dm.batches(split, shuffle=False, drop_last=False):
-            preds.append(np.asarray(predict(p, jnp.asarray(batch["input_ids"]))))
+            scores.append(np.asarray(predict(
+                p, jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["lengths"]),
+            )))
             labels.append(batch["labels"])
-        preds = np.concatenate(preds)
+        scores = np.concatenate(scores)
         labels = np.concatenate(labels)
+        if problem_type == "regression":
+            # regression evaluates with MSE/MAE, not argmax accuracy
+            pred = np.squeeze(scores, axis=-1) if scores.ndim > 1 else scores
+            err = pred - labels
+            return {"mse": float(np.mean(err**2)),
+                    "mae": float(np.mean(np.abs(err)))}
+        preds = np.argmax(scores, axis=-1)
         out = {"accuracy": float((preds == labels).mean())}
-        if metric == "mcc" or metric == "all":
+        if metric in ("mcc", "all"):
             out["mcc"] = mcc_fn(preds, labels)
-        if metric == "f1" or metric == "all":
+        if metric in ("f1", "all"):
             out["f1"] = f1_fn(preds, labels,
                               average="binary" if num_labels == 2 else "macro")
+        if num_labels == 2 and metric in ("roc_auc", "all"):
+            # decision scores kept for AUROC (`src/tasks/metrics.py` roc_auc)
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            out["roc_auc"] = roc_auc((e / e.sum(-1, keepdims=True))[:, 1], labels)
         return out
 
-    best_val, best_params = -np.inf, params
+    # higher-is-better for classification; lower for regression
+    def better(a, b):
+        return a < b if problem_type == "regression" else a > b
+
+    sel_metric = "mse" if problem_type == "regression" else metric
+    best_val = np.inf if problem_type == "regression" else -np.inf
+    best_params = params
     for epoch in range(epochs):
         for batch in dm.batches("train", epoch=epoch, seed=seed):
             params, opt_state, loss = train_step(
                 params, opt_state, jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["labels"]),
+                jnp.asarray(batch["labels"]), jnp.asarray(batch["lengths"]),
             )
         val = eval_split(params, "val")
-        score = val.get(metric, val["accuracy"])
+        score = val.get(sel_metric, next(iter(val.values())))
         log({"epoch": epoch, "loss": float(loss), **{f"val/{k}": v for k, v in val.items()}})
-        if score > best_val:
+        if better(score, best_val):
             best_val, best_params = score, params
 
     test = eval_split(best_params, "test")
@@ -152,6 +221,11 @@ def main(argv=None):
     p.add_argument("--n-layer", type=int, default=4)
     p.add_argument("--no-rcps", action="store_true")
     p.add_argument("--freeze-backbone", action="store_true")
+    p.add_argument("--use-lengths", action="store_true",
+                   help="length-masked pooling (reference SequenceDecoder "
+                        "use_lengths/ragged modes)")
+    p.add_argument("--layer-decay", type=float, default=None,
+                   help="layer-wise lr decay factor (`train.py:496-541`)")
     p.add_argument("--problem-type", default="single_label_classification",
                    choices=["single_label_classification", "regression",
                             "multi_label_classification"])
@@ -198,9 +272,11 @@ def main(argv=None):
             state, _ = restore_checkpoint(ckpt_dir, template)
             pretrained_params = state.params
 
-    conjoin = args.conjoin_train or args.conjoin_test
     results = []
     for seed in args.seeds:
+        # conjoin_train vs conjoin_test is a DATA-side distinction
+        # (`genomic_bench_dataset.py:87,104-118`): the dataset decides when
+        # strands arrive stacked; the model dispatches on input rank.
         dm = ClassificationDataModule(
             args.data_dir, args.task, max_length=args.max_length,
             batch_size=args.batch_size, rc_aug=args.rc_aug,
@@ -210,19 +286,21 @@ def main(argv=None):
         r = finetune_one(
             cfg, dm, dm.num_classes, pretrained_params=pretrained_params,
             epochs=args.epochs, lr=args.lr, pooling=args.pooling,
-            conjoin=conjoin and not cfg.rcps, seed=seed, metric=args.metric,
+            seed=seed, metric=args.metric,
             problem_type=args.problem_type,
             freeze_backbone=args.freeze_backbone,
+            use_lengths=args.use_lengths, layer_decay=args.layer_decay,
         )
         r["seed"] = seed
         results.append(r)
         print(json.dumps(r))
 
+    key = "test_mse" if args.problem_type == "regression" else "test_accuracy"
     summary = {
         "task": args.task,
         "seeds": args.seeds,
-        "mean_test_accuracy": float(np.mean([r["test_accuracy"] for r in results])),
-        "std_test_accuracy": float(np.std([r["test_accuracy"] for r in results])),
+        f"mean_{key}": float(np.mean([r[key] for r in results])),
+        f"std_{key}": float(np.std([r[key] for r in results])),
     }
     print(json.dumps(summary))
     return summary

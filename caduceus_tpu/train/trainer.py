@@ -27,7 +27,13 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from caduceus_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
-from caduceus_tpu.train.metrics import NumTokens, Perplexity, accuracy, cross_entropy_loss
+from caduceus_tpu.train.metrics import (
+    NumTokens,
+    Perplexity,
+    accuracy,
+    cross_entropy_loss,
+    per_token_ppl,
+)
 from caduceus_tpu.train.optim import make_optimizer
 
 
@@ -67,13 +73,17 @@ def make_train_step(
     `src/models/sequence/long_conv_lm.py:252-253`).
     """
 
-    def loss_fn(params, input_ids, targets, rng):
+    def loss_fn(params, input_ids, targets, rng, loss_weights=None):
         if dropout:
             logits = apply_fn(params, input_ids, train=True,
                               rngs={"dropout": rng})
         else:
             logits = apply_fn(params, input_ids)
-        loss, aux = cross_entropy_loss(logits, targets, ignore_index=ignore_index)
+        # loss_weights: GPN-style weighted CE (`modeling_caduceus.py:286-294`)
+        # when the batch carries per-position weights
+        loss, aux = cross_entropy_loss(logits, targets,
+                                       ignore_index=ignore_index,
+                                       loss_weights=loss_weights)
         correct = accuracy(logits, targets, ignore_index=ignore_index)
         aux["acc"] = correct
         return loss, aux
@@ -82,24 +92,28 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> tuple:
         ids, tgt = batch["input_ids"], batch["targets"]
+        lw = batch.get("loss_weights")
         step_rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed),
                                       state.step)
         if accum_steps > 1:
             nb = ids.shape[0] // accum_steps
             ids = ids.reshape(accum_steps, nb, *ids.shape[1:])
             tgt = tgt.reshape(accum_steps, nb, *tgt.shape[1:])
+            if lw is not None:
+                lw = lw.reshape(accum_steps, nb, *lw.shape[1:])
 
             def micro(carry, xt):
                 g_acc, l_acc, a_acc = carry
                 rng = jax.random.fold_in(step_rng, xt[2])
-                (l, aux), g = grad_fn(state.params, xt[0], xt[1], rng)
+                (l, aux), g = grad_fn(state.params, xt[0], xt[1], rng,
+                                      xt[3] if lw is not None else None)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
                 return (g_acc, l_acc + l, a_acc + aux["acc"]), aux
 
+            xs = (ids, tgt, jnp.arange(accum_steps))
+            xs = xs + (lw,) if lw is not None else xs + (jnp.zeros(accum_steps),)
             zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (g, loss, acc), auxes = jax.lax.scan(
-                micro, (zero, 0.0, 0.0), (ids, tgt, jnp.arange(accum_steps))
-            )
+            (g, loss, acc), auxes = jax.lax.scan(micro, (zero, 0.0, 0.0), xs)
             g = jax.tree_util.tree_map(lambda t: t / accum_steps, g)
             loss = loss / accum_steps
             acc = acc / accum_steps
@@ -109,7 +123,7 @@ def make_train_step(
                 "acc": acc,
             }
         else:
-            (loss, aux), g = grad_fn(state.params, ids, tgt, step_rng)
+            (loss, aux), g = grad_fn(state.params, ids, tgt, step_rng, lw)
 
         updates, new_opt = tx.update(g, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -133,12 +147,33 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(apply_fn: Callable, ignore_index: int = 4):
+def make_eval_step(apply_fn: Callable, ignore_index: int = 4,
+                   last_k: int = 0, per_token: bool = False):
+    """Eval step with the reference HG38Task metric family
+    (`src/tasks/tasks.py:244-332`): streaming ppl + optional last-k-ppl and
+    per-position NLL sums; honors batch["loss_weights"] (GPN weighted CE)."""
+
     def eval_step(params, batch):
         logits = apply_fn(params, batch["input_ids"])
-        loss, aux = cross_entropy_loss(logits, batch["targets"], ignore_index=ignore_index)
-        aux["acc"] = accuracy(logits, batch["targets"], ignore_index=ignore_index)
+        tgt = batch["targets"]
+        loss, aux = cross_entropy_loss(
+            logits, tgt, ignore_index=ignore_index,
+            loss_weights=batch.get("loss_weights"),
+        )
+        aux["acc"] = accuracy(logits, tgt, ignore_index=ignore_index)
         aux["loss"] = loss
+        if last_k > 0:
+            _, lk = cross_entropy_loss(
+                logits[..., -last_k:, :], tgt[..., -last_k:],
+                ignore_index=ignore_index,
+            )
+            aux["last_k_loss_sum"] = lk["loss_sum"]
+            aux["last_k_count"] = lk["count"]
+        if per_token:
+            nll, mask = per_token_ppl(logits, tgt, ignore_index=ignore_index)
+            # per-position sums over the batch; host streams across batches
+            aux["pos_nll_sum"] = nll.reshape(-1, nll.shape[-1]).sum(0)
+            aux["pos_count"] = mask.reshape(-1, mask.shape[-1]).sum(0)
         return aux
 
     return eval_step
@@ -150,6 +185,9 @@ class TrainerConfig:
     log_every: int = 50
     eval_every: int = 1_000
     eval_batches: int = 16
+    # HG38Task metric family (`src/tasks/tasks.py:244-332`)
+    eval_last_k: int = 0      # 0 = off; else ppl over the last k positions
+    eval_per_token: bool = False  # dump per-position ppl curve to run_dir
     checkpoint_every: int = 500
     accum_steps: int = 1
     ema_decay: float = 0.0  # 0 disables EMA tracking
@@ -228,7 +266,10 @@ class Trainer:
             ema_decay=self.cfg.ema_decay,
         )
         self._train_step = jax.jit(step_fn, donate_argnums=0)
-        self._eval_step = jax.jit(make_eval_step(apply_fn, self.ignore_index))
+        self._eval_step = jax.jit(make_eval_step(
+            apply_fn, self.ignore_index,
+            last_k=self.cfg.eval_last_k, per_token=self.cfg.eval_per_token,
+        ))
 
     # -- loop --------------------------------------------------------------
     def fit(self, max_steps: Optional[int] = None) -> Dict[str, float]:
@@ -239,6 +280,7 @@ class Trainer:
 
         step = int(jax.device_get(self.state.step))
         last_metrics: Dict[str, float] = {}
+        last_m = None
         t0 = time.time()
         tokens_since_log = 0
         while step < max_steps:
@@ -247,6 +289,7 @@ class Trainer:
                     jax.profiler.start_trace(self.cfg.profile_dir)
                 batch = shard_batch(self.mesh, batch)
                 self.state, m = self._train_step(self.state, batch)
+                last_m = m
                 step += 1
                 if self.cfg.profile_dir and step == 13:
                     jax.block_until_ready(m["loss"])
@@ -275,8 +318,8 @@ class Trainer:
                     self.save_checkpoint()
                 if step >= max_steps:
                     break
-        if not last_metrics and "m" in dir():
-            m = jax.device_get(m)
+        if not last_metrics and last_m is not None:
+            m = jax.device_get(last_m)
             last_metrics = {
                 "step": step,
                 "loss": float(m["loss"]),
@@ -294,22 +337,43 @@ class Trainer:
 
         def run(params, tag):
             ppl = Perplexity()
-            losses, accs = [], []
+            lk = Perplexity()
+            acc_w = cnt_w = 0.0
+            pos_nll = pos_cnt = None
+            n_batches = 0
             for i, batch in enumerate(self.eval_loader):
                 if i >= max_batches:
                     break
                 batch = shard_batch(self.mesh, batch)
                 m = jax.device_get(self._eval_step(params, batch))
                 ppl.update(m["loss_sum"], m["count"])
-                losses.append(float(m["loss"]))
-                accs.append(float(m["acc"]))
-            if not losses:
+                # token-weighted means (ragged final batches would bias
+                # per-batch averaging)
+                acc_w += float(m["acc"]) * float(m["count"])
+                cnt_w += float(m["count"])
+                if "last_k_loss_sum" in m:
+                    lk.update(m["last_k_loss_sum"], m["last_k_count"])
+                if "pos_nll_sum" in m:
+                    pos_nll = m["pos_nll_sum"] + (0 if pos_nll is None else pos_nll)
+                    pos_cnt = m["pos_count"] + (0 if pos_cnt is None else pos_cnt)
+                n_batches += 1
+            if n_batches == 0:
                 return {}
-            return {
-                f"{tag}/loss": float(np.mean(losses)),
-                f"{tag}/acc": float(np.mean(accs)),
+            out = {
+                f"{tag}/loss": float(np.log(max(ppl.compute(), 1e-30))),
+                f"{tag}/acc": acc_w / max(cnt_w, 1.0),
                 f"{tag}/ppl": ppl.compute(),
             }
+            if self.cfg.eval_last_k > 0:
+                out[f"{tag}/last_{self.cfg.eval_last_k}_ppl"] = lk.compute()
+            if pos_nll is not None:
+                curve = np.exp(pos_nll / np.maximum(pos_cnt, 1))
+                path = os.path.join(
+                    self.cfg.run_dir, f"per_token_ppl_{tag.replace('/', '_')}.npy"
+                )
+                np.save(path, curve)
+                out[f"{tag}/per_token_ppl_file"] = path
+            return out
 
         out = run(self.state.params, prefix)
         # EMA-swapped validation (reference `train.py:438-453`): duplicate

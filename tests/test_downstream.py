@@ -160,3 +160,25 @@ def test_vep_pipeline(tmp_path):
     h = np.arange(2 * 10 * 3, dtype=np.float32).reshape(2, 10, 3)
     e = extract_embeddings(h, np.array([5, 5]), window_bp=4)
     np.testing.assert_allclose(e[0], h[0, 3:7].mean(axis=0))
+
+
+def test_conjoin_test_train_split_rc_flips(task_dir):
+    """conjoin_test alone makes the TRAIN split rc-augment
+    (`genomic_bench_dataset.py:87`), not conjoin."""
+    dm = ClassificationDataModule(task_dir, "demo", max_length=64, batch_size=8,
+                                  conjoin_test=True)
+    ds = dm.train_ds
+    assert ds.rc_flip and not ds.conjoin
+    plain = [ds.tokenizer.encode_padded(ds.sequences[i], 64, add_sep=False)
+             for i in range(len(ds))]
+    flipped = sum(
+        not np.array_equal(ds.get(i)[0], plain[i]) for i in range(len(ds))
+    )
+    assert 0 < flipped < len(ds)  # coin-flip: some flipped, some not
+
+
+def test_batches_include_lengths(task_dir):
+    dm = ClassificationDataModule(task_dir, "demo", max_length=64, batch_size=16)
+    b = next(dm.batches("train"))
+    assert b["lengths"].shape == (16,)
+    assert (b["lengths"] == 64).all()  # synthetic task: full-length seqs

@@ -181,3 +181,54 @@ def test_load_backbone_graft():
     # backbone leaves come from `pre`
     for a, b in zip(jax.tree_util.tree_leaves(merged), jax.tree_util.tree_leaves(pre)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_step_hg38_metric_family():
+    """last-k-ppl / per-token-nll / loss_weights through the eval path
+    (reference HG38Task metrics, `src/tasks/tasks.py:244-332`)."""
+    model, cfg = tiny_model()
+    rng = np.random.default_rng(4)
+    B, L = 2, 16
+    batch = {
+        "input_ids": rng.integers(7, 11, (B, L), dtype=np.int32),
+        "targets": rng.integers(7, 11, (B, L), dtype=np.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"][:1])
+    ev = jax.jit(make_eval_step(model.apply, last_k=4, per_token=True))
+    m = jax.device_get(ev(params, batch))
+    assert int(m["last_k_count"]) == B * 4
+    assert m["pos_nll_sum"].shape == (L,)
+    assert int(m["pos_count"].sum()) == B * L
+    # total nll decomposes: per-position sums == global loss_sum
+    np.testing.assert_allclose(m["pos_nll_sum"].sum(), m["loss_sum"], rtol=1e-5)
+
+    # loss_weights (GPN weighted CE, `modeling_caduceus.py:286-294`): with
+    # uniform weights the weighted loss equals the plain mean
+    lw = np.ones((B, L), np.float32)
+    ev2 = jax.jit(make_eval_step(model.apply))
+    m_w = jax.device_get(ev2(params, {**batch, "loss_weights": lw}))
+    np.testing.assert_allclose(m_w["loss"], m["loss"], rtol=1e-5)
+    # non-uniform weights change the loss
+    lw2 = np.concatenate([np.ones((B, L // 2), np.float32) * 5,
+                          np.ones((B, L - L // 2), np.float32) * 0.01], axis=1)
+    m_w2 = jax.device_get(ev2(params, {**batch, "loss_weights": lw2}))
+    assert abs(float(m_w2["loss"]) - float(m["loss"])) > 1e-5
+
+
+def test_train_step_with_loss_weights():
+    model, cfg = tiny_model()
+    from caduceus_tpu.train.optim import make_optimizer as mo
+
+    rng = np.random.default_rng(5)
+    B, L = 4, 16
+    batch = {
+        "input_ids": rng.integers(7, 11, (B, L), dtype=np.int32),
+        "targets": rng.integers(7, 11, (B, L), dtype=np.int32),
+        "loss_weights": np.ones((B, L), np.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"][:1])
+    tx, _ = mo(lr=1e-3, warmup_t=0, t_initial=10)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(model.apply, tx, accum_steps=2))
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
