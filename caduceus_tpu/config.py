@@ -88,6 +88,13 @@ class CaduceusConfig:
     remat: bool = False
     remat_span: int = 1
 
+    # context parallelism (beyond the reference, SURVEY.md §5.7 stretch):
+    # name of the mesh axis the sequence dimension is sharded over; the
+    # selective scans run as the exact two-pass sequence-parallel algorithm
+    # (`parallel/seq_scan.py`). Requires the runtime to register its mesh
+    # via `parallel.mesh.set_global_mesh`/`with_mesh`.
+    context_parallel_axis: Optional[str] = None
+
     def __post_init__(self):
         if isinstance(self.ssm_cfg, dict):
             self.ssm_cfg = SSMConfig(**self.ssm_cfg)

@@ -241,6 +241,30 @@ class _DirectionParams(nn.Module):
         )
 
 
+def _cp_scan(dp: "_DirectionParams", cfg: CaduceusConfig, xi: jnp.ndarray,
+             reverse: bool) -> jnp.ndarray:
+    """Context-parallel directional scan: conv/projections run as global ops
+    on the L-sharded activations (XLA inserts the halo exchanges), the scan
+    itself runs as the exact two-pass sequence-parallel algorithm
+    (`parallel/seq_scan.py`; capability beyond the reference, SURVEY §5.7)."""
+    from caduceus_tpu.parallel.mesh import get_global_mesh
+    from caduceus_tpu.parallel.seq_scan import sequence_parallel_scan
+
+    mesh = get_global_mesh()
+    assert mesh is not None, (
+        "context_parallel_axis is set but no mesh is registered — call "
+        "caduceus_tpu.parallel.mesh.set_global_mesh(mesh) (or use with_mesh)"
+    )
+    xc, draw, B_mat, C, lead = dp.projections(xi, reverse=reverse)
+    y = sequence_parallel_scan(
+        xc, draw, -jnp.exp(dp.A_log.astype(jnp.float32)), B_mat, C,
+        D=dp.D, delta_bias=dp.dt_proj_b, delta_softplus=True,
+        reverse=reverse, mesh=mesh, axis=cfg.context_parallel_axis,
+    )
+    L, di = xi.shape[-2], xi.shape[-1]
+    return y.reshape(*lead, L, di)
+
+
 class MambaMixer(nn.Module):
     """Unidirectional Mamba mixer (reference `Mamba`, mamba-ssm 1.2.0).
 
@@ -278,7 +302,10 @@ class MambaMixer(nn.Module):
         xz = in_proj(x)
         xi, z = jnp.split(xz, 2, axis=-1)
         direction = _DirectionParams(c, name="fwd")
-        y = direction(xi, reverse=False, chunk_size=self.scan_chunk_size)
+        if c.context_parallel_axis:
+            y = _cp_scan(direction, c, xi, reverse=False)
+        else:
+            y = direction(xi, reverse=False, chunk_size=self.scan_chunk_size)
         y = y * jax.nn.silu(z)
         return out_proj(y)
 
@@ -338,6 +365,9 @@ class BiMamba(nn.Module):
         def run_both(xi_f, xi_r):
             """Run both directional inner scans; uses the paired-direction
             Pallas kernel (single launch, double VPU width) when on TPU."""
+            if c.context_parallel_axis:
+                return (_cp_scan(fwd, c, xi_f, reverse=False),
+                        _cp_scan(rev, c, xi_r, reverse=True))
             kernel = fwd._resolved_kernel()
             if kernel.startswith("pallas"):
                 from caduceus_tpu.ops.scan_pallas_bidir import (

@@ -75,3 +75,42 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sharding, x), batch
     )
+
+
+# ---------------------------------------------------------------------------
+# Ambient mesh registry
+#
+# Model code (e.g. the context-parallel scan switch on BiMamba) needs the
+# active Mesh to build shard_map regions, but flax modules are constructed
+# from config alone. The runtime (Trainer / VEP / dryrun) registers its mesh
+# here; jax 0.9's `jax.sharding.use_mesh` ambient-mesh API is not available
+# in this environment, so this is the equivalent explicit context.
+# ---------------------------------------------------------------------------
+
+_GLOBAL_MESH: Optional[Mesh] = None
+
+
+def set_global_mesh(mesh: Optional[Mesh]) -> None:
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def get_global_mesh() -> Optional[Mesh]:
+    return _GLOBAL_MESH
+
+
+class with_mesh:
+    """Context manager: `with with_mesh(mesh): ...`"""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self._prev = None
+
+    def __enter__(self):
+        self._prev = get_global_mesh()
+        set_global_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_global_mesh(self._prev)
+        return False
