@@ -88,6 +88,13 @@ class CaduceusConfig:
     remat: bool = False
     remat_span: int = 1
 
+    # tensor parallelism through the Pallas kernels: name of the mesh axis
+    # d_inner is sharded over. The scan is elementwise in d, so the kernel
+    # runs per-shard under shard_map with zero collectives; the surrounding
+    # projections keep their Megatron specs (`parallel/sharding.py`).
+    # Requires a registered global mesh (like context_parallel_axis).
+    tensor_parallel_axis: Optional[str] = None
+
     # context parallelism (beyond the reference, SURVEY.md §5.7 stretch):
     # name of the mesh axis the sequence dimension is sharded over; the
     # selective scans run as the exact two-pass sequence-parallel algorithm

