@@ -28,7 +28,12 @@ from typing import Dict, Iterator, Optional, Tuple
 import numpy as np
 
 from caduceus_tpu.data.fasta import FastaFile
-from caduceus_tpu.data.mlm import mlm_mask
+from caduceus_tpu.data.mlm import (
+    mlm_mask_splitmix,
+    splitmix_base,
+    splitmix_draws,
+    splitmix_u01,
+)
 from caduceus_tpu.data.sampler import ShardedShuffleSampler
 from caduceus_tpu.tokenization import PAD_ID, SEP_ID, CaduceusTokenizer
 
@@ -113,8 +118,10 @@ class HG38Dataset:
         chr_name, start, end = self._window(row_idx, shift_idx)
         ids = self.fasta.fetch_ids(chr_name, start, end, self._byte_table)
 
-        rng = np.random.default_rng((self.seed, epoch, idx))
-        if self.rc_aug and rng.random() < 0.5:
+        # shared counter-based stream: batches are bit-identical between the
+        # python and native loaders (mlm.py draw-layout contract)
+        base = splitmix_base(self.seed, epoch, idx)
+        if self.rc_aug and splitmix_u01(splitmix_draws(base, 0, 1))[0] < 0.5:
             ids = self._complement[ids[::-1]]
 
         # N → PAD so N positions are ignored by the loss
@@ -125,9 +132,9 @@ class HG38Dataset:
 
         if self.mlm:
             core = ids[:-1] if self.add_eos else ids
-            return mlm_mask(
+            return mlm_mask_splitmix(
                 core,
-                rng,
+                base,
                 mlm_probability=self.mlm_probability,
                 vocab_size=self.tokenizer.vocab_size,
             )
@@ -145,9 +152,9 @@ class DataLoaderIterator:
     state = sampler state; batches are host-local (global batch is
     ``batch_size * world_size``). With ``use_native=True`` the per-item work
     (FASTA extraction, tokenization, rc-aug, MLM) runs in the C++ worker
-    pool (caduceus_tpu/data/native.py) — the sampler/window logic is
-    unchanged, so resume state is identical (native and python loaders use
-    different RNG streams for masking, both deterministic).
+    pool (caduceus_tpu/data/native.py); both loaders draw from the same
+    counter-based splitmix stream (mlm.py), so batches are bit-identical
+    and a resumed run may switch loaders freely.
     """
 
     def __init__(self, dataset: HG38Dataset, sampler: ShardedShuffleSampler,
@@ -165,6 +172,9 @@ class DataLoaderIterator:
                 "native loader requested but native/libcaduceus_data.so is "
                 "not built (scripts/build_native.sh)"
             )
+            assert not (dataset.mlm and dataset.add_eos), (
+                "native loader: MLM with add_eos is python-only"
+            )
             nf = native.NativeFasta(dataset.fasta.path)
             n = len(dataset)
             geo = [dataset._window(i // dataset.shifts, i % dataset.shifts)
@@ -172,19 +182,14 @@ class DataLoaderIterator:
             contigs = np.array([nf.index[c] for c, _, _ in geo], np.int32)
             starts = np.array([s for _, s, _ in geo], np.int64)
             ends = np.array([e for _, _, e in geo], np.int64)
-            if not dataset.mlm:
-                # NTP consumes seq_len+1 bases (the native path uses the
-                # next genomic base as the final target rather than SEP);
-                # windows at a chromosome end shift back by one instead.
-                lens = np.array([nf.chr_lens[c] for c, _, _ in geo], np.int64)
-                want = ends + 1
-                clamped = np.minimum(want, lens)
-                starts = starts - (want - clamped)
-                ends = clamped
+            # targets/masking share the counter-based splitmix stream with
+            # the python loader (mlm.py) — batches are bit-identical between
+            # loaders, so resume may switch loaders mid-run.
             self._native = native.NativeHG38Loader(
                 nf, contigs, starts, ends, seq_len=dataset.max_length,
                 batch_size=batch_size, mlm=dataset.mlm,
                 mlm_probability=dataset.mlm_probability,
+                add_eos=dataset.add_eos,
                 rc_aug=dataset.rc_aug, seed=dataset.seed,
                 vocab_size=dataset.tokenizer.vocab_size, n_threads=n_threads,
             )
@@ -204,7 +209,10 @@ class DataLoaderIterator:
                 if len(batch_idx) == self.batch_size:
                     yield self._native.fill(np.asarray(batch_idx, np.int64), epoch)
                     batch_idx = []
-            # native path requires full batches; tail dropped by contract
+            if batch_idx and not self.drop_last:
+                # tail batch via the python path (bit-identical stream)
+                xs, ys = zip(*(self.dataset.get(int(i), epoch) for i in batch_idx))
+                yield {"input_ids": np.stack(xs), "targets": np.stack(ys)}
             return
         batch_x, batch_y = [], []
         for idx in self.sampler:

@@ -51,7 +51,7 @@ def _load():
     lib.hg38_item.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-        ctypes.c_int, ctypes.c_double, ctypes.c_int32,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
     lib.loader_create.restype = ctypes.c_void_p
@@ -60,7 +60,7 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
-        ctypes.c_int64, ctypes.c_int32, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int64, ctypes.c_int32, ctypes.c_int,
     ]
     lib.loader_fill_batch.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
@@ -143,6 +143,7 @@ class NativeHG38Loader:
         batch_size: int,
         mlm: bool = True,
         mlm_probability: float = 0.15,
+        add_eos: bool = False,
         rc_aug: bool = False,
         seed: int = 0,
         vocab_size: int = 12,
@@ -152,6 +153,9 @@ class NativeHG38Loader:
         assert lib is not None
         self._lib = lib
         self.fasta = fasta
+        # output row length: NTP without eos yields seq_len-1 items
+        # (data=ids[:-1]); MLM and eos-NTP yield seq_len
+        self.out_len = seq_len if (mlm or add_eos) else seq_len - 1
         self.seq_len = seq_len
         self.batch_size = batch_size
         contigs = np.ascontiguousarray(contigs, np.int32)
@@ -160,11 +164,11 @@ class NativeHG38Loader:
         self.n_windows = len(contigs)
         self._h = lib.loader_create(
             fasta._h, _i32p(contigs), _i64p(starts), _i64p(ends),
-            len(contigs), seq_len, batch_size, int(mlm), mlm_probability,
-            int(rc_aug), seed, vocab_size, n_threads,
+            len(contigs), self.out_len, batch_size, int(mlm), mlm_probability,
+            int(add_eos), int(rc_aug), seed, vocab_size, n_threads,
         )
-        self._x = np.empty((batch_size, seq_len), np.int32)
-        self._y = np.empty((batch_size, seq_len), np.int32)
+        self._x = np.empty((batch_size, self.out_len), np.int32)
+        self._y = np.empty((batch_size, self.out_len), np.int32)
 
     def fill(self, indices: np.ndarray, epoch: int) -> Dict[str, np.ndarray]:
         indices = np.ascontiguousarray(indices, np.int64)

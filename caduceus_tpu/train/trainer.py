@@ -179,6 +179,43 @@ def make_eval_step(apply_fn: Callable, ignore_index: int = 4,
     return eval_step
 
 
+def prefetch_to_device(loader, mesh, size: int = 2):
+    """Background-thread prefetch: host batch prep + device_put of batch N+1
+    overlap step N's device execution (TODO r1: input-pipeline overlap).
+
+    Yields (sharded_batch, loader_state_after_batch). Carrying the loader
+    state with each batch keeps the exactly-once resume contract: a
+    checkpoint written after consuming batch N records the state for N+1
+    even though the loader has already produced N+size.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
+    stop = object()
+    err = []
+
+    def worker():
+        try:
+            for b in loader:
+                st = loader.state_dict() if hasattr(loader, "state_dict") else None
+                q.put((shard_batch(mesh, b), st))
+        except BaseException as e:  # noqa: BLE001 — reraised on the consumer
+            err.append(e)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 @dataclass
 class TrainerConfig:
     max_steps: int = 10_000
@@ -190,6 +227,7 @@ class TrainerConfig:
     eval_per_token: bool = False  # dump per-position ppl curve to run_dir
     checkpoint_every: int = 500
     accum_steps: int = 1
+    prefetch: int = 2  # device-prefetch queue depth (0 disables)
     ema_decay: float = 0.0  # 0 disables EMA tracking
     profile_dir: Optional[str] = None  # jax.profiler trace capture
     run_dir: str = "./outputs/run"
@@ -284,11 +322,23 @@ class Trainer:
         t0 = time.time()
         tokens_since_log = 0
         while step < max_steps:
-            for batch in self.train_loader:
+            if self.cfg.prefetch > 0:
+                stream = prefetch_to_device(self.train_loader, self.mesh,
+                                            self.cfg.prefetch)
+            else:
+                def _sync_stream():
+                    for b in self.train_loader:
+                        st = (self.train_loader.state_dict()
+                              if hasattr(self.train_loader, "state_dict")
+                              else None)
+                        yield shard_batch(self.mesh, b), st
+
+                stream = _sync_stream()
+            for batch, loader_state in stream:
                 if self.cfg.profile_dir and step == 10:
                     jax.profiler.start_trace(self.cfg.profile_dir)
-                batch = shard_batch(self.mesh, batch)
                 self.state, m = self._train_step(self.state, batch)
+                self._consumed_loader_state = loader_state
                 last_m = m
                 step += 1
                 if self.cfg.profile_dir and step == 13:
@@ -389,11 +439,11 @@ class Trainer:
         from caduceus_tpu.train.checkpoint import save_checkpoint
 
         path = path or os.path.join(self.cfg.run_dir, "checkpoints")
-        loader_state = (
-            self.train_loader.state_dict()
-            if hasattr(self.train_loader, "state_dict")
-            else None
-        )
+        # prefer the state captured at consumption time (prefetching means
+        # the loader itself has already advanced past the queued batches)
+        loader_state = getattr(self, "_consumed_loader_state", None)
+        if loader_state is None and hasattr(self.train_loader, "state_dict"):
+            loader_state = self.train_loader.state_dict()
         return save_checkpoint(path, self.state, loader_state)
 
     def restore_checkpoint(self, path: Optional[str] = None) -> bool:

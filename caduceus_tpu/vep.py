@@ -83,13 +83,16 @@ def dump_embeddings(
     rank: int = 0,
     world_size: int = 1,
     rcps_collapse: bool = True,
+    rc_forwards: bool = True,
 ) -> str:
     """Frozen forward pass → per-variant (ref_emb, alt_emb) concat → npz.
 
     For RCPS models the (B, L, 2d) output collapses to strand-mean
     (`vep_embeddings.py:369-372`); for non-RCPS models the reference runs
-    two extra rc forwards (`:376-377`) — here controlled by the caller via
-    conjoined inputs if needed.
+    two extra forwards on the rc inputs, flips the outputs along L, and the
+    SVM notebook's conjoin variant averages fwd+rc embeddings
+    (`vep_embeddings.py:376-377,387-393`) — reproduced here when
+    ``rc_forwards`` (the default).
     """
     import jax
     import jax.numpy as jnp
@@ -99,6 +102,7 @@ def dump_embeddings(
     from caduceus_tpu.tokenization import CaduceusTokenizer
 
     tok = CaduceusTokenizer(model_max_length=seq_len)
+    complement = tok.complement_array(cfg.padded_vocab_size)
     fasta = FastaFile(fasta_path)
     variants = read_variants(variants_path)[rank::world_size]
 
@@ -112,6 +116,13 @@ def dump_embeddings(
             h = (h[..., :d] + jnp.flip(h[..., d:], axis=(-2, -1))) / 2
         return h
 
+    @jax.jit
+    def forward_rc(ids):
+        # non-RCPS rc pass: model(rc(ids)) flipped back along L so
+        # variant_idx aligns (`vep_embeddings.py:376-377`)
+        rc_ids = jnp.asarray(complement)[jnp.flip(ids, axis=-1)]
+        return jnp.flip(model.apply(params, rc_ids), axis=-2)
+
     feats, labels, tss = [], [], []
     buf_ref, buf_alt, buf_idx, buf_meta = [], [], [], []
 
@@ -120,6 +131,9 @@ def dump_embeddings(
             return
         ids = jnp.asarray(np.stack(buf_ref + buf_alt))
         h = np.asarray(forward(ids), np.float32)
+        if not cfg.rcps and rc_forwards:
+            h_rc = np.asarray(forward_rc(ids), np.float32)
+            h = (h + h_rc) / 2  # conjoin-avg strand embedding
         n = len(buf_ref)
         idx = np.asarray(buf_idx + buf_idx)
         emb = extract_embeddings(h, idx)

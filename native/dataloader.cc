@@ -29,30 +29,35 @@
 namespace {
 
 // ----------------------------------------------------------------- RNG ----
-// splitmix64: tiny, fast, solid avalanche; seeded from (seed, epoch, idx).
-struct SplitMix64 {
-  uint64_t s;
-  explicit SplitMix64(uint64_t seed) : s(seed) {}
-  uint64_t next() {
-    uint64_t z = (s += 0x9E3779B97F4A7C15ull);
-    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
-    z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
-    return z ^ (z >> 31);
-  }
-  // uniform double in [0, 1)
-  double uniform() { return (next() >> 11) * (1.0 / 9007199254740992.0); }
-  // uniform integer in [0, n)
-  uint64_t randint(uint64_t n) { return next() % n; }
-};
+// Counter-based splitmix64 — the SHARED stream of the python and native
+// loaders (caduceus_tpu/data/mlm.py splitmix_* mirrors these constants and
+// the draw layout exactly), so a batch is bit-identical regardless of which
+// loader built it. Draw j of a stream with state `base` is
+// fin(base + (j+1)*GAMMA).
+constexpr uint64_t kGamma = 0x9E3779B97F4A7C15ull;
+
+inline uint64_t sm_fin(uint64_t z) {
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+  return z ^ (z >> 31);
+}
+
+inline uint64_t sm_draw(uint64_t base, uint64_t j) {
+  return sm_fin(base + (j + 1) * kGamma);
+}
+
+inline double sm_u01(uint64_t base, uint64_t j) {
+  return (sm_draw(base, j) >> 11) * (1.0 / 9007199254740992.0);
+}
 
 inline uint64_t mix3(uint64_t a, uint64_t b, uint64_t c) {
-  SplitMix64 r(a * 0x9E3779B97F4A7C15ull ^ b * 0xC2B2AE3D27D4EB4Full ^
-               (c + 0x165667B19E3779F9ull));
-  r.next();
-  return r.next();
+  uint64_t s0 = a * kGamma ^ b * 0xC2B2AE3D27D4EB4Full ^
+                (c + 0x165667B19E3779F9ull);
+  return sm_fin(s0 + 2 * kGamma);  // skip one output, take the second
 }
 
 // token ids (caduceus_tpu/tokenization.py layout)
+constexpr int32_t kSep = 1;
 constexpr int32_t kMask = 3;
 constexpr int32_t kPad = 4;
 constexpr int32_t kUnk = 6;
@@ -204,7 +209,7 @@ void fasta_close(void* h) {
 // this fills data/target from (contig, start, end).
 int64_t hg38_item(void* h, int ci, int64_t start, int64_t end,
                   int64_t seed, int64_t epoch, int64_t idx, int rc_aug,
-                  int mlm, double mlm_prob, int32_t vocab_size,
+                  int mlm, double mlm_prob, int add_eos, int32_t vocab_size,
                   int32_t* data, int32_t* target) {
   Fasta* fa = (Fasta*)h;
   int64_t L = end - start;
@@ -212,8 +217,10 @@ int64_t hg38_item(void* h, int ci, int64_t start, int64_t end,
   std::vector<int32_t> ids(L);
   if (fasta_fetch_ids(h, ci, start, end, ids.data()) != L) return -1;
 
-  SplitMix64 rng(mix3((uint64_t)seed, (uint64_t)epoch, (uint64_t)idx));
-  if (rc_aug && rng.uniform() < 0.5) {
+  // shared stream layout (mlm.py): draw 0 = rc coin; 1..L mask; 1+L..2L
+  // replace; 1+2L..3L randomize; 1+3L..4L random token
+  uint64_t base = mix3((uint64_t)seed, (uint64_t)epoch, (uint64_t)idx);
+  if (rc_aug && sm_u01(base, 0) < 0.5) {
     // reverse complement in place
     for (int64_t a = 0, b = L - 1; a < b; a++, b--) {
       int32_t ta = fa->complement[ids[a] & 15];
@@ -230,20 +237,31 @@ int64_t hg38_item(void* h, int ci, int64_t start, int64_t end,
     for (int64_t k = 0; k < L; k++) {
       int32_t tok = ids[k];
       data[k] = tok;
-      bool masked = rng.uniform() < mlm_prob;
+      bool masked = sm_u01(base, 1 + k) < mlm_prob;
       target[k] = masked ? tok : kPad;
       if (masked) {
-        bool replaced = rng.uniform() < 0.8;
-        if (replaced) {
+        if (sm_u01(base, 1 + L + k) < 0.8) {
           data[k] = kMask;
-        } else if (rng.uniform() < 0.5) {
-          data[k] = (int32_t)rng.randint(vocab_size);
+        } else if (sm_u01(base, 1 + 2 * L + k) < 0.5) {
+          data[k] = (int32_t)(sm_draw(base, 1 + 3 * L + k) %
+                              (uint64_t)vocab_size);
         }
       }
     }
     return L;
   }
-  // next-token: data = ids[:-1], target = ids[1:]
+  if (add_eos) {
+    // next-token with SEP terminator (python: ids+[SEP]; data=ids,
+    // target=ids[1:]+[SEP]) — reference `hg38_dataset.py:214-227`
+    for (int64_t k = 0; k < L - 1; k++) {
+      data[k] = ids[k];
+      target[k] = ids[k + 1];
+    }
+    data[L - 1] = ids[L - 1];
+    target[L - 1] = kSep;
+    return L;
+  }
+  // next-token without eos: data = ids[:-1], target = ids[1:]
   for (int64_t k = 0; k < L - 1; k++) {
     data[k] = ids[k];
     target[k] = ids[k + 1];
@@ -265,6 +283,7 @@ struct Loader {
   int batch_size;
   int mlm;
   double mlm_prob;
+  int add_eos;
   int rc_aug;
   int64_t seed;
   int32_t vocab_size;
@@ -301,7 +320,7 @@ static void* worker_main(void* arg) {
       if (slot < 0) break;
       const WindowSpec& w = ld->windows[idx];
       hg38_item(ld->fa, w.contig, w.start, w.end, ld->seed, ld->epoch, idx,
-                ld->rc_aug, ld->mlm, ld->mlm_prob, ld->vocab_size,
+                ld->rc_aug, ld->mlm, ld->mlm_prob, ld->add_eos, ld->vocab_size,
                 ld->out_x + slot * ld->seq_len, ld->out_y + slot * ld->seq_len);
     }
     pthread_barrier_wait(&ld->done_barrier);
@@ -310,8 +329,9 @@ static void* worker_main(void* arg) {
 
 void* loader_create(void* fasta, const int32_t* contigs, const int64_t* starts,
                     const int64_t* ends, int64_t n_windows, int64_t seq_len,
-                    int batch_size, int mlm, double mlm_prob, int rc_aug,
-                    int64_t seed, int32_t vocab_size, int n_threads) {
+                    int batch_size, int mlm, double mlm_prob, int add_eos,
+                    int rc_aug, int64_t seed, int32_t vocab_size,
+                    int n_threads) {
   Loader* ld = new Loader();
   ld->fa = (Fasta*)fasta;
   ld->windows.resize(n_windows);
@@ -321,6 +341,7 @@ void* loader_create(void* fasta, const int32_t* contigs, const int64_t* starts,
   ld->batch_size = batch_size;
   ld->mlm = mlm;
   ld->mlm_prob = mlm_prob;
+  ld->add_eos = add_eos;
   ld->rc_aug = rc_aug;
   ld->seed = seed;
   ld->vocab_size = vocab_size;

@@ -182,3 +182,42 @@ def test_batches_include_lengths(task_dir):
     b = next(dm.batches("train"))
     assert b["lengths"].shape == (16,)
     assert (b["lengths"] == 64).all()  # synthetic task: full-length seqs
+
+
+def test_vep_non_rcps_rc_forwards(tmp_path):
+    """Non-RCPS VEP runs the two extra rc forwards and averages strands
+    (`vep_embeddings.py:376-377`; VERDICT r1 weak-#5)."""
+    from caduceus_tpu.data.fasta import write_fasta
+    from caduceus_tpu.vep import combine_embeddings, dump_embeddings
+
+    rng = np.random.default_rng(1)
+    seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 2048)])
+    fasta_path = str(tmp_path / "g.fa")
+    write_fasta(fasta_path, {"chr1": seq})
+    vpath = str(tmp_path / "variants.tsv")
+    with open(vpath, "w") as f:
+        for i in range(8):
+            pos = 256 + i * 128
+            ref = seq[pos]
+            alt = {"A": "G", "C": "T", "G": "A", "T": "C"}[ref]
+            f.write(f"chr1\t{pos}\t{ref}\t{alt}\t{i % 2}\t{i * 5000}\n")
+
+    from caduceus_tpu.models.caduceus import Caduceus
+
+    cfg = small_cfg(vocab_size=CaduceusTokenizer().vocab_size, rcps=False)
+    model = Caduceus(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64), jnp.int32))
+
+    out1 = str(tmp_path / "emb_rc")
+    dump_embeddings(cfg, params, fasta_path, vpath, out1, seq_len=256,
+                    batch_size=4, rc_forwards=True)
+    p1 = combine_embeddings(out1, 1)
+    d1 = np.load(p1)
+    assert d1["features"].shape == (8, 2 * cfg.d_model)
+
+    out2 = str(tmp_path / "emb_norc")
+    dump_embeddings(cfg, params, fasta_path, vpath, out2, seq_len=256,
+                    batch_size=4, rc_forwards=False)
+    d2 = np.load(combine_embeddings(out2, 1))
+    # rc averaging changes the embedding (extra strand information)
+    assert not np.allclose(d1["features"], d2["features"])

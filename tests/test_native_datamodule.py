@@ -50,3 +50,34 @@ def test_native_module_resume_parity(genome):
     b_resume = next(iter(l2))
     np.testing.assert_array_equal(b_next["input_ids"], b_resume["input_ids"])
     np.testing.assert_array_equal(b_next["targets"], b_resume["targets"])
+
+
+def test_native_python_batches_bit_identical(genome):
+    """Python and native loaders share the counter-based splitmix stream
+    (mlm.py <-> dataloader.cc): same seed/epoch/idx -> identical batches,
+    so a resumed run may switch loaders (VERDICT r1 weak-#6)."""
+    fasta, bed = genome
+    for kwargs in (dict(mlm=True, mlm_probability=0.15),
+                   dict(mlm=True, mlm_probability=0.15, rc_aug=True),
+                   dict(mlm=False, add_eos=True)):
+        mk = lambda nat: HG38DataModule(bed, fasta, max_length=1 << 10,
+                                        batch_size=4, seed=11,
+                                        use_native=nat, **kwargs)
+        b_py = next(iter(mk(False).train_loader()))
+        b_nat = next(iter(mk(True).train_loader()))
+        np.testing.assert_array_equal(b_py["input_ids"], b_nat["input_ids"],
+                                      err_msg=str(kwargs))
+        np.testing.assert_array_equal(b_py["targets"], b_nat["targets"],
+                                      err_msg=str(kwargs))
+
+
+def test_native_ntp_eos_target(genome):
+    """Native NTP with add_eos terminates targets with SEP, matching the
+    python path (reference `hg38_dataset.py:214-227`)."""
+    fasta, bed = genome
+    dm = HG38DataModule(bed, fasta, max_length=512, batch_size=2,
+                        mlm=False, add_eos=True, use_native=True)
+    b = next(iter(dm.train_loader()))
+    assert b["input_ids"].shape == (2, 512)
+    assert (b["targets"][:, -1] == 1).all()  # SEP
+    np.testing.assert_array_equal(b["input_ids"][:, 1:], b["targets"][:, :-1])

@@ -77,12 +77,22 @@ def test_loader_ntp_mode(fasta_pair):
     seq_len = 128
     contigs = np.zeros(2, np.int32)
     starts = np.array([0, 64], np.int64)
-    # NTP consumes seq_len+1 bases to emit seq_len pairs
-    ends = starts + seq_len + 1
+    # no-eos NTP over an L-window emits L-1 pairs (python: data=ids[:-1])
+    ends = starts + seq_len
     ld = native.NativeHG38Loader(nat, contigs, starts, ends, seq_len=seq_len,
                                  batch_size=2, mlm=False)
     b = ld.fill(np.arange(2, dtype=np.int64), epoch=0)
     x, y = b["input_ids"], b["targets"]
+    assert x.shape == (2, seq_len - 1)
+    np.testing.assert_array_equal(x[:, 1:], y[:, :-1])
+    ld.close()
+    # add_eos: L pairs, SEP-terminated targets
+    ld = native.NativeHG38Loader(nat, contigs, starts, ends, seq_len=seq_len,
+                                 batch_size=2, mlm=False, add_eos=True)
+    b = ld.fill(np.arange(2, dtype=np.int64), epoch=0)
+    x, y = b["input_ids"], b["targets"]
+    assert x.shape == (2, seq_len)
+    assert (y[:, -1] == 1).all()
     np.testing.assert_array_equal(x[:, 1:], y[:, :-1])
     ld.close()
 
