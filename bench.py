@@ -24,6 +24,18 @@ import numpy as np
 
 
 def main():
+    if os.environ.get("BENCH_VERIFY") == "1":
+        # on-device numerics gate: real Mosaic kernels vs the XLA oracle
+        # (scripts/verify_tpu.py); exits non-zero on any mismatch
+        import subprocess
+        import sys
+
+        rc = subprocess.call([sys.executable, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts",
+            "verify_tpu.py")])
+        if rc != 0:
+            sys.exit(rc)
+
     import jax
     import jax.numpy as jnp
 
@@ -42,6 +54,7 @@ def main():
     n_layer = int(os.environ.get("BENCH_NLAYER", 16))
     steps = int(os.environ.get("BENCH_STEPS", 3))
     kernel = os.environ.get("BENCH_KERNEL", "auto")
+    remat_span = int(os.environ.get("BENCH_REMAT_SPAN", 1))
 
     tok = CaduceusTokenizer()
     cfg = CaduceusConfig(
@@ -54,6 +67,7 @@ def main():
         dtype="bfloat16",
         residual_in_fp32=False,
         remat=True,
+        remat_span=remat_span,
     )
     model = CaduceusForMaskedLM(cfg)
 

@@ -121,3 +121,27 @@ def test_finetune_emits_roc_auc(tmp_path):
                      log_fn=lambda m: None)
     # decision scores kept: AUROC computable (VERDICT r1 weak-#4)
     assert "test_roc_auc" in r and 0.0 <= r["test_roc_auc"] <= 1.0
+
+
+def test_encoder_registry():
+    """Encoder registry parity (`src/tasks/encoders.py:62-88`)."""
+    from caduceus_tpu.models.encoders import get_encoder
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 12, (2, 8)))
+    enc = get_encoder("id")
+    p = enc.init(jax.random.PRNGKey(0), ids)
+    np.testing.assert_array_equal(np.asarray(enc.apply(p, ids)), np.asarray(ids))
+
+    enc = get_encoder("embedding", n_tokens=12, d_model=16)
+    p = enc.init(jax.random.PRNGKey(0), ids)
+    assert enc.apply(p, ids).shape == (2, 8, 16)
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 8, 4)),
+                    jnp.float32)
+    enc = get_encoder("linear", d_input=4, d_model=16)
+    p = enc.init(jax.random.PRNGKey(0), x)
+    assert enc.apply(p, x).shape == (2, 8, 16)
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        get_encoder("nope")
