@@ -263,18 +263,9 @@ class _DirectionParams(nn.Module):
 
 
 def _shard_map_compat(fn, mesh, in_specs, out_specs):
-    """shard_map across jax versions (check_vma / check_rep naming)."""
-    try:
-        from jax import shard_map as _sm
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _sm
-    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
-        try:
-            return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                       **kw)
-        except TypeError:
-            continue
-    raise RuntimeError("no compatible shard_map signature")
+    from caduceus_tpu.parallel.mesh import shard_map_compat
+
+    return shard_map_compat(fn, mesh, in_specs, out_specs)
 
 
 def _tp_mesh(cfg: CaduceusConfig):
@@ -307,6 +298,7 @@ def _cp_scan(dp: "_DirectionParams", cfg: CaduceusConfig, xi: jnp.ndarray,
         xc, draw, -jnp.exp(dp.A_log.astype(jnp.float32)), B_mat, C,
         D=dp.D, delta_bias=dp.dt_proj_b, delta_softplus=True,
         reverse=reverse, mesh=mesh, axis=cfg.context_parallel_axis,
+        local_impl=dp._resolved_kernel(),
     )
     L, di = xi.shape[-2], xi.shape[-1]
     return y.reshape(*lead, L, di)

@@ -124,26 +124,29 @@ def _fwd_kernel(
     has_z: bool,
     save_carries: bool,
 ):
-    # inputs: u, delta, B, C, A, D, bias, [z]
-    # outputs: y, [carries]; scratches: h, delta_s, du_s, bc_s, y_s
-    n_in = 7 + int(has_z)
+    # inputs: u, delta, B, C, A, D, bias, h0, [z]
+    # outputs: y, hN, [carries]; scratches: h, delta_s, du_s, bc_s, y_s
+    n_in = 8 + int(has_z)
     ins, rest = refs[:n_in], refs[n_in:]
     if has_z:
-        u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, z_ref = ins
+        (u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, h0_ref,
+         z_ref) = ins
     else:
-        u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref = ins
+        u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, h0_ref = ins
         z_ref = None
     if save_carries:
-        y_ref, car_ref = rest[:2]
-        h_scratch, delta_s, du_s, bc_s, y_s = rest[2:]
+        y_ref, hN_ref, car_ref = rest[:3]
+        h_scratch, delta_s, du_s, bc_s, y_s = rest[3:]
     else:
-        y_ref = rest[0]
-        h_scratch, delta_s, du_s, bc_s, y_s = rest[1:]
+        y_ref, hN_ref = rest[:2]
+        h_scratch, delta_s, du_s, bc_s, y_s = rest[2:]
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
     def _():
-        h_scratch[...] = jnp.zeros_like(h_scratch)
+        # segmented-scan entry state (zeros for a plain scan; the previous
+        # shard's boundary state under context parallelism)
+        h_scratch[...] = h0_ref[...]
 
     if save_carries:
         car_ref[:, 0] = h_scratch[...].astype(car_ref.dtype)
@@ -164,6 +167,8 @@ def _fwd_kernel(
         T=T, U=_pick_unroll(T, _FWD_UNROLL),
     )
     h_scratch[...] = h
+    # last grid step's write survives == the scan-final state
+    hN_ref[...] = h
 
     y = y_s[...] + D_ref[0][None, None, :] * u
     if has_z:
@@ -212,6 +217,7 @@ def selective_scan_pallas_fwd_impl(
     group_block: int = 8,
     interpret: bool = False,
     save_carries: bool = False,
+    h_init=None,  # (G, N, d) fp32 scan-entry state (None = zeros)
 ):
     G, L, d = u.shape
     N = A.shape[-1]
@@ -226,14 +232,18 @@ def selective_scan_pallas_fwd_impl(
 
     tensors = [u, delta, B_mat, C] + ([z] if has_z else [])
     if L % T != 0:
-        # zero padding: padded steps have zero drive and their outputs are
-        # discarded; in traversal order they sit strictly after (forward) /
-        # before-with-zero-state (reverse) every real step.
+        # state-transparent padding: drive is zero (u=0) and the decay is
+        # the identity (delta → softplus(-1e4 + bias) ≈ 0 ⇒ exp(0·A) = 1),
+        # so h_init flows unchanged through pad steps (reverse scans process
+        # them first) and the emitted final state equals the true one.
         pad = T - L % T
-        tensors = [
-            jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
-            for t in tensors
-        ]
+        dpad = -1e4 if delta_softplus else 0.0
+        out = []
+        for i, t in enumerate(tensors):
+            cval = dpad if i == 1 else 0.0
+            out.append(jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2),
+                               constant_values=cval))
+        tensors = out
     Lp = tensors[0].shape[1]
     nc = Lp // T
 
@@ -242,29 +252,37 @@ def selective_scan_pallas_fwd_impl(
             else jnp.asarray(D, jnp.float32).reshape(1, d))
     bias_in = (jnp.zeros((1, d), jnp.float32) if delta_bias is None
                else jnp.asarray(delta_bias, jnp.float32).reshape(1, d))
+    h0_in = (jnp.zeros((G, N, d), jnp.float32) if h_init is None
+             else jnp.asarray(h_init, jnp.float32).reshape(G, N, d))
 
     if reverse:
         cmap = lambda g, i: (g, nc - 1 - i, 0)
     else:
         cmap = lambda g, i: (g, i, 0)
     full = lambda g, i: (0, 0)
+    gmap = lambda g, i: (g, 0, 0)
 
     gd_spec = pl.BlockSpec((Gb, T, d), cmap, memory_space=pltpu.VMEM)
     gn_spec = pl.BlockSpec((Gb, T, N), cmap, memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((Gb, N, d), gmap, memory_space=pltpu.VMEM)
 
     in_specs = [
         gd_spec, gd_spec, gn_spec, gn_spec,
         pl.BlockSpec((N, d), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+        state_spec,
     ]
-    inputs = tensors[:4] + [A_T, D_in, bias_in]
+    inputs = tensors[:4] + [A_T, D_in, bias_in, h0_in]
     if has_z:
         in_specs.append(gd_spec)
         inputs.append(tensors[4])
 
-    out_shape = [jax.ShapeDtypeStruct((G, Lp, d), u.dtype)]
-    out_specs = [gd_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((G, Lp, d), u.dtype),
+        jax.ShapeDtypeStruct((G, N, d), jnp.float32),  # final state
+    ]
+    out_specs = [gd_spec, state_spec]
     if save_carries:
         # chunk-entry states; scan-order chunk i lives at slot i
         car_map = (lambda g, i: (g, i, 0, 0))
@@ -283,8 +301,8 @@ def selective_scan_pallas_fwd_impl(
         kernel,
         grid=(G // Gb, nc),
         in_specs=in_specs,
-        out_specs=tuple(out_specs) if save_carries else out_specs[0],
-        out_shape=tuple(out_shape) if save_carries else out_shape[0],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((Gb, N, d), jnp.float32),     # h carry
             pltpu.VMEM((Gb, T, d), jnp.float32),     # resolved delta
@@ -298,9 +316,10 @@ def selective_scan_pallas_fwd_impl(
         interpret=interpret,
     )(*inputs)
     if save_carries:
-        y, carries = out
-        return y[:, :L], carries, T
-    return out[:, :L]
+        y, hN, carries = out
+        return y[:, :L], hN, carries, T
+    y, hN = out
+    return y[:, :L], hN
 
 
 # ===========================================================================
@@ -410,7 +429,8 @@ def _bwd_adjoint_loop_multi(dirs, lam0s, gA0s, *, T, U):
 
 def _bwd_kernel(
     u_ref, delta_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, gy_ref, car_ref,
-    gu_ref, gdelta_ref, gB_ref, gC_ref, gA_ref, gD_ref, gbias_ref,
+    ghN_ref,
+    gu_ref, gdelta_ref, gB_ref, gC_ref, gA_ref, gD_ref, gbias_ref, gh0_ref,
     lam_s, h_s, dA_s, delta_s, du_s, bc_s, u_s, gy_s, gu_s, gdelta_s, gbc_s,
     acc_s,
     *,
@@ -427,7 +447,9 @@ def _bwd_kernel(
 
     @pl.when(ci == 0)
     def _():
-        lam_s[...] = jnp.zeros_like(lam_s)  # adjoint carry, (Gb, N, d)
+        # adjoint carry init = cotangent of the scan-final state (zeros for
+        # a plain scan; the downstream shard's gh0 under segmented chaining)
+        lam_s[...] = ghN_ref[...]
 
     A = A_ref[...]  # (N, d)
     h0 = car_ref[:, 0].astype(jnp.float32)  # (Gb, N, d) — chunk-entry state
@@ -464,6 +486,8 @@ def _bwd_kernel(
         [lam_s[...]], [jnp.zeros_like(acc_s[2:])], T=T, U=U,
     )
     lam_s[...] = lam
+    # after the last grid step (scan-order chunk 0) this is dL/dh_init
+    gh0_ref[...] = lam
 
     # ---- epilogue: chunk-wide vector ops over (Gb, T, d) ----
     gy = gy_s[...]
@@ -496,8 +520,9 @@ def selective_scan_pallas_bwd_impl(
     reverse: bool,
     T: int,
     interpret: bool = False,
+    g_hN=None,  # (G, N, d) cotangent of the scan-final state
 ):
-    """Returns (g_u, g_delta, g_A, g_B, g_C, g_D, g_bias)."""
+    """Returns (g_u, g_delta, g_A, g_B, g_C, g_D, g_bias, g_h0)."""
     G, L, d = u.shape
     N = A.shape[-1]
     nc = carries.shape[1]
@@ -505,12 +530,19 @@ def selective_scan_pallas_bwd_impl(
 
     tensors = [u, delta, B_mat, C, g_y]
     if L % T != 0:
+        # state-transparent padding (see fwd impl): identity decay + zero
+        # drive so the lam carry passes pad steps unchanged
         pad = Lp - L
-        tensors = [
-            jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
-            for t in tensors
-        ]
+        dpad = -1e4 if delta_softplus else 0.0
+        out = []
+        for i, t in enumerate(tensors):
+            cval = dpad if i == 1 else 0.0
+            out.append(jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2),
+                               constant_values=cval))
+        tensors = out
     u_p, delta_p, B_p, C_p, gy_p = tensors
+    ghN_in = (jnp.zeros((G, N, d), jnp.float32) if g_hN is None
+              else jnp.asarray(g_hN, jnp.float32).reshape(G, N, d))
 
     # bwd scratch: h_s + dA_s dominate (bf16, (Gb, T, N, d))
     Gb = min(8, G)
@@ -546,6 +578,8 @@ def selective_scan_pallas_bwd_impl(
 
     gd_spec = pl.BlockSpec((Gb, T, d), cmap, memory_space=pltpu.VMEM)
     gn_spec = pl.BlockSpec((Gb, T, N), cmap, memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((Gb, N, d), lambda g, i: (g, 0, 0),
+                              memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _bwd_kernel, T=T, reverse=reverse, delta_softplus=delta_softplus,
@@ -563,6 +597,7 @@ def selective_scan_pallas_bwd_impl(
             pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
             gd_spec,  # g_y
             pl.BlockSpec((Gb, 1, N, d), car_map, memory_space=pltpu.VMEM),
+            state_spec,  # g_hN
         ],
         out_specs=(
             gd_spec,  # g_u
@@ -572,6 +607,7 @@ def selective_scan_pallas_bwd_impl(
             pl.BlockSpec((N, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            state_spec,  # g_h0
         ),
         out_shape=(
             jax.ShapeDtypeStruct((G, Lp, d), u.dtype),
@@ -581,6 +617,7 @@ def selective_scan_pallas_bwd_impl(
             jax.ShapeDtypeStruct((N, d), jnp.float32),
             jax.ShapeDtypeStruct((1, d), jnp.float32),
             jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((G, N, d), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((Gb, N, d), jnp.float32),        # lam carry
@@ -600,8 +637,8 @@ def selective_scan_pallas_bwd_impl(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(u_p, delta_p, B_p, C_p, A_T, D_in, bias_in, gy_p, carries)
-    g_u, g_delta, g_B, g_C, g_A_T, g_D, g_bias = outs
+    )(u_p, delta_p, B_p, C_p, A_T, D_in, bias_in, gy_p, carries, ghN_in)
+    g_u, g_delta, g_B, g_C, g_A_T, g_D, g_bias, g_h0 = outs
     return (
         g_u[:, :L],
         g_delta[:, :L],
@@ -610,6 +647,7 @@ def selective_scan_pallas_bwd_impl(
         g_C[:, :L],
         g_D[0],
         g_bias[0],
+        g_h0,
     )
 
 
@@ -629,24 +667,25 @@ def selective_scan_pallas(
     interpret: bool = False,
     delta_bias=None,
 ):
-    return selective_scan_pallas_fwd_impl(
+    y, _ = selective_scan_pallas_fwd_impl(
         u, delta, A, B_mat, C, D, z, delta_bias,
         delta_softplus, reverse, chunk_size, group_block, interpret,
         save_carries=False,
     )
+    return y
 
 
 def _fwd(u, delta, A, B_mat, C, D, z,
          delta_softplus, reverse, chunk_size, group_block, interpret,
          delta_bias=None):
     if z is None:
-        y, carries, T = selective_scan_pallas_fwd_impl(
+        y, _, carries, T = selective_scan_pallas_fwd_impl(
             u, delta, A, B_mat, C, D, None, delta_bias,
             delta_softplus, reverse, chunk_size, group_block, interpret,
             save_carries=True,
         )
         return y, (u, delta, A, B_mat, C, D, z, delta_bias, carries, T)
-    y = selective_scan_pallas_fwd_impl(
+    y, _ = selective_scan_pallas_fwd_impl(
         u, delta, A, B_mat, C, D, z, delta_bias,
         delta_softplus, reverse, chunk_size, group_block, interpret,
         save_carries=False,
@@ -659,7 +698,8 @@ def _bwd(delta_softplus, reverse, chunk_size, group_block, interpret,
     u, delta, A, B_mat, C, D, z, delta_bias, carries, T = residuals
 
     if carries is not None:
-        g_u, g_delta, g_A, g_B, g_C, g_D, g_bias = selective_scan_pallas_bwd_impl(
+        (g_u, g_delta, g_A, g_B, g_C, g_D, g_bias,
+         _) = selective_scan_pallas_bwd_impl(
             u, delta, A, B_mat, C, D, delta_bias, g.astype(u.dtype), carries,
             delta_softplus, reverse, T, interpret,
         )
@@ -697,3 +737,65 @@ def _bwd(delta_softplus, reverse, chunk_size, group_block, interpret,
 
 
 selective_scan_pallas.defvjp(_fwd, _bwd)
+
+
+# ===========================================================================
+# Segmented/chained variant: explicit entry state in, final state out.
+#
+# This is the kernel-speed building block for context parallelism
+# (`parallel/seq_scan.py` local scans) and chunked streaming prefill: the
+# VJP consumes the downstream cotangent g_hN as the adjoint-carry init and
+# emits dL/dh_init (the final λ), so shard-boundary chaining is exact.
+# ===========================================================================
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def selective_scan_pallas_chained(
+    u, delta, A, B_mat, C, D, delta_bias, h_init,
+    delta_softplus: bool = True,
+    reverse: bool = False,
+    chunk_size: int = 128,
+    group_block: int = 8,
+    interpret: bool = False,
+):
+    """Returns (y, h_final); h_init/h_final are (G, N, d) fp32."""
+    return selective_scan_pallas_fwd_impl(
+        u, delta, A, B_mat, C, D, None, delta_bias,
+        delta_softplus, reverse, chunk_size, group_block, interpret,
+        save_carries=False, h_init=h_init,
+    )
+
+
+def _chained_fwd(u, delta, A, B_mat, C, D, delta_bias, h_init,
+                 delta_softplus, reverse, chunk_size, group_block, interpret):
+    y, hN, carries, T = selective_scan_pallas_fwd_impl(
+        u, delta, A, B_mat, C, D, None, delta_bias,
+        delta_softplus, reverse, chunk_size, group_block, interpret,
+        save_carries=True, h_init=h_init,
+    )
+    return (y, hN), (u, delta, A, B_mat, C, D, delta_bias, carries, T)
+
+
+def _chained_bwd(delta_softplus, reverse, chunk_size, group_block, interpret,
+                 residuals, g):
+    u, delta, A, B_mat, C, D, delta_bias, carries, T = residuals
+    g_y, g_hN = g
+    (g_u, g_delta, g_A, g_B, g_C, g_D, g_bias,
+     g_h0) = selective_scan_pallas_bwd_impl(
+        u, delta, A, B_mat, C, D, delta_bias, g_y.astype(u.dtype), carries,
+        delta_softplus, reverse, T, interpret, g_hN=g_hN,
+    )
+    if D is None:
+        g_D = None
+    else:
+        g_D = g_D.astype(jnp.asarray(D).dtype).reshape(jnp.shape(D))
+    if delta_bias is None:
+        g_bias = None
+    else:
+        g_bias = g_bias.astype(jnp.asarray(delta_bias).dtype).reshape(
+            jnp.shape(delta_bias)
+        )
+    return (g_u.astype(u.dtype), g_delta.astype(delta.dtype), g_A,
+            g_B.astype(B_mat.dtype), g_C.astype(C.dtype), g_D, g_bias, g_h0)
+
+
+selective_scan_pallas_chained.defvjp(_chained_fwd, _chained_bwd)

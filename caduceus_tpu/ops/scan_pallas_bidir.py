@@ -496,11 +496,11 @@ def _bwd(delta_softplus, chunk_size, group_block, interpret, res, g):
     else:
         from caduceus_tpu.ops.scan_pallas import selective_scan_pallas_bwd_impl
 
-        guf, gdf, gAf, gBf, gCf, gDf, gbf = selective_scan_pallas_bwd_impl(
+        guf, gdf, gAf, gBf, gCf, gDf, gbf, _ = selective_scan_pallas_bwd_impl(
             uf, df, Af, Bf, Cf, Df, biasf, gf.astype(uf.dtype), carf,
             delta_softplus, False, T, interpret,
         )
-        gur, gdr, gAr, gBr, gCr, gDr, gbr = selective_scan_pallas_bwd_impl(
+        gur, gdr, gAr, gBr, gCr, gDr, gbr, _ = selective_scan_pallas_bwd_impl(
             ur, dr, Ar, Br, Cr, Dr, biasr, gr.astype(ur.dtype), carr,
             delta_softplus, True, T, interpret,
         )

@@ -114,3 +114,20 @@ class with_mesh:
     def __exit__(self, *exc):
         set_global_mesh(self._prev)
         return False
+
+
+def shard_map_compat(fn, mesh, in_specs, out_specs):
+    """shard_map with varying-axes checking disabled, across jax versions
+    (check_vma / check_rep naming) — required for pallas_call bodies, whose
+    out ShapeDtypeStructs carry no vma annotation."""
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       **kw)
+        except TypeError:
+            continue
+    raise RuntimeError("no compatible shard_map signature")

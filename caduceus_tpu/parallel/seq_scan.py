@@ -18,9 +18,10 @@ Algorithm (two-pass, exact):
 
 Cost: 2× local scan compute; communication is O(n_s · d · N) bytes — this
 trades FLOPs for memory capacity/bandwidth, exactly the right trade when a
-single chip cannot hold the sequence. Forward-only for now (long-context
-inference / embedding extraction, e.g. 131k+ VEP across a pod); the
-backward pass through shard boundaries is future work.
+single chip cannot hold the sequence. Fully differentiable: every op here
+has an exact transpose (the chained Pallas kernel's VJP consumes g_hN and
+emits dL/dh0, so shard-boundary adjoints chain exactly); grad parity vs the
+single-device scan is tested on the 8-dev mesh.
 """
 
 from __future__ import annotations
@@ -55,8 +56,15 @@ def sequence_parallel_scan(
     mesh: Mesh,
     axis: str = "data",
     chunk_size: int = 256,
+    local_impl: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
 ) -> jnp.ndarray:
-    """Exact selective scan with the sequence axis sharded over `axis`."""
+    """Exact selective scan with the sequence axis sharded over `axis`.
+
+    ``local_impl="pallas"`` runs each shard's local scans through the
+    chained Pallas kernel (`ops/scan_pallas.py selective_scan_pallas_chained`
+    — explicit entry state in, final state out, exact dL/dh boundary
+    adjoints), so context parallelism runs at kernel speed on TPU.
+    """
     n_s = mesh.shape[axis]
     G, L, d = u.shape
     N = A.shape[-1]
@@ -77,13 +85,35 @@ def sequence_parallel_scan(
     def local(u_l, delta_l, B_l, C_l, z_l):
         idx = lax.axis_index(axis)
         zero_h = _varying(jnp.zeros((G, d, N), jnp.float32))
+        use_pallas = local_impl.startswith("pallas")
+        if use_pallas:
+            from caduceus_tpu.ops.scan_pallas import (
+                selective_scan_pallas_chained,
+            )
+
+            interp = local_impl == "pallas_interpret"
+
+            def local_scan(h0, with_outputs):
+                # pallas state layout is (G, N, d); seq_scan carries (G, d, N)
+                y, hN = selective_scan_pallas_chained(
+                    u_l, delta_l, A, B_l, C_l,
+                    D if with_outputs else None, delta_bias,
+                    jnp.swapaxes(h0, 1, 2),
+                    delta_softplus, reverse, 128, 8, interp,
+                )
+                return y, jnp.swapaxes(hN, 1, 2)
+        else:
+            def local_scan(h0, with_outputs):
+                return selective_scan(
+                    u_l, delta_l, A, B_l, C_l,
+                    D=D if with_outputs else None, z=None,
+                    delta_bias=delta_bias, delta_softplus=delta_softplus,
+                    reverse=reverse, chunk_size=chunk_size,
+                    return_final_state=True, h_init=h0,
+                )
+
         # pass 1: local scan from zero state + final state
-        y0, b_s = selective_scan(
-            u_l, delta_l, A, B_l, C_l, D=None, z=None,
-            delta_bias=delta_bias, delta_softplus=delta_softplus,
-            reverse=reverse, chunk_size=chunk_size, return_final_state=True,
-            h_init=zero_h,
-        )
+        y0, b_s = local_scan(zero_h, with_outputs=False)
         del y0  # only the boundary state is needed from pass 1
         # analytic total decay of this shard: exp(A ⊙ Σ_t delta)
         dsum = jnp.sum(
@@ -105,6 +135,14 @@ def sequence_parallel_scan(
             h_run = a_all[s] * h_run + b_all[s]
 
         # pass 2: exact local scan with the true incoming state
+        if use_pallas:
+            y, _ = local_scan(my_h0, with_outputs=True)
+            if z is not None:
+                zf = z_l.astype(jnp.float32)
+                y = (y.astype(jnp.float32) * (zf * jax.nn.sigmoid(zf))).astype(
+                    y.dtype
+                )
+            return y
         y = selective_scan(
             u_l, delta_l, A, B_l, C_l, D=D, z=z_l if z is not None else None,
             delta_bias=delta_bias, delta_softplus=delta_softplus,
@@ -113,9 +151,11 @@ def sequence_parallel_scan(
         return y
 
     z_in = z if z is not None else jnp.zeros((G, L, d), u.dtype)
-    fn = shard_map(
+    from caduceus_tpu.parallel.mesh import shard_map_compat
+
+    fn = shard_map_compat(
         local,
-        mesh=mesh,
+        mesh,
         in_specs=(seq_spec, seq_spec, P(None, axis, None), P(None, axis, None), seq_spec),
         out_specs=seq_spec,
     )

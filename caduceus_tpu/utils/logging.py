@@ -53,10 +53,20 @@ def make_logger(
 
     if wandb_project:
         try:
+            import os
+
             import wandb
 
-            run = wandb.init(project=wandb_project, name=wandb_name,
-                             dir=run_dir, mode="offline")
+            # online when the deployment has egress (WANDB_MODE=online);
+            # offline default suits air-gapped training. group/job_type
+            # mirror the reference's sweep organization
+            # (`wandb.group="downstream/gb_cv5"`, run_genomics_benchmark.sh)
+            run = wandb.init(
+                project=wandb_project, name=wandb_name, dir=run_dir,
+                mode=os.environ.get("WANDB_MODE", "offline"),
+                group=os.environ.get("WANDB_RUN_GROUP"),
+                job_type=os.environ.get("WANDB_JOB_TYPE"),
+            )
 
             def wandb_sink(m):
                 step = m.get("step")

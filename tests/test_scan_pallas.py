@@ -88,3 +88,79 @@ def test_kernel_grad_matches_xla():
         scale = float(np.abs(np.asarray(b)).max()) + 1e-9
         np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
                                    atol=5e-3)
+
+
+def test_chained_scan_matches_split_scan():
+    """selective_scan_pallas_chained: (h_init in, h_final out) — scanning a
+    sequence in two chained kernel calls equals one full scan, fwd AND bwd
+    (the VJP chains g_hN / dL/dh0 across the boundary)."""
+    from caduceus_tpu.ops.scan_pallas import selective_scan_pallas_chained
+    from caduceus_tpu.ops.selective_scan import selective_scan
+
+    G, L, d, N = 2, 64, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(5), 7)
+    u = jax.random.normal(ks[0], (G, L, d))
+    delta = jax.random.normal(ks[1], (G, L, d)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (d, N)) * 0.5)
+    B = jax.random.normal(ks[3], (G, L, N))
+    C = jax.random.normal(ks[4], (G, L, N))
+    D = jax.random.normal(ks[5], (d,))
+    bias = jax.random.normal(ks[6], (d,)) * 0.1
+    h0 = jnp.zeros((G, N, d), jnp.float32)
+
+    def loss_chained(args):
+        u, delta, A, B, C, D, bias = args
+        h = L // 2
+        y1, hm = selective_scan_pallas_chained(
+            u[:, :h], delta[:, :h], A, B[:, :h], C[:, :h], D, bias, h0,
+            True, False, 16, 2, True)
+        y2, _ = selective_scan_pallas_chained(
+            u[:, h:], delta[:, h:], A, B[:, h:], C[:, h:], D, bias, hm,
+            True, False, 16, 2, True)
+        y = jnp.concatenate([y1, y2], axis=1)
+        return jnp.sum(jnp.square(y)), y
+
+    def loss_ref(args):
+        u, delta, A, B, C, D, bias = args
+        y = selective_scan(u, delta, A, B, C, D=D, delta_bias=bias,
+                           delta_softplus=True)
+        return jnp.sum(jnp.square(y)), y
+
+    args = (u, delta, A, B, C, D, bias)
+    (_, y_c) = loss_chained(args)
+    (_, y_r) = loss_ref(args)
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_r),
+                               atol=1e-4, rtol=1e-4)
+    g_c = jax.grad(lambda a: loss_chained(a)[0])(args)
+    g_r = jax.grad(lambda a: loss_ref(a)[0])(args)
+    for n, a, b in zip("u delta A B C D bias".split(), g_c, g_r):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=5e-3, err_msg=f"chained grad {n}")
+
+
+def test_chained_scan_reverse_with_padding():
+    """reverse + non-multiple L: state-transparent padding must not decay
+    h_init through pad steps."""
+    from caduceus_tpu.ops.scan_pallas import selective_scan_pallas_chained
+    from caduceus_tpu.ops.selective_scan import selective_scan
+
+    G, L, d, N = 1, 50, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(6), 7)
+    u = jax.random.normal(ks[0], (G, L, d))
+    delta = jax.random.normal(ks[1], (G, L, d)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (d, N)) * 0.5)
+    B = jax.random.normal(ks[3], (G, L, N))
+    C = jax.random.normal(ks[4], (G, L, N))
+    bias = jax.random.normal(ks[6], (d,)) * 0.1
+    h0 = jax.random.normal(ks[5], (G, N, d))
+
+    y, hN = selective_scan_pallas_chained(
+        u, delta, A, B, C, None, bias, h0, True, True, 16, 1, True)
+    y_ref, hN_ref = selective_scan(
+        u, delta, A, B, C, delta_bias=bias, delta_softplus=True,
+        reverse=True, h_init=jnp.swapaxes(h0, 1, 2), return_final_state=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(hN, 1, 2)),
+                               np.asarray(hN_ref), atol=1e-4, rtol=1e-4)

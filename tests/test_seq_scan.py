@@ -205,3 +205,41 @@ def test_cp_quarter_million_token_forward(mesh8):
         logits = jax.jit(model.apply)(params, ids_sharded)
     assert logits.shape[:2] == (1, L)
     assert bool(jnp.isfinite(logits).all())
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_seq_scan_pallas_local_impl(mesh8, reverse):
+    """CP with the chained Pallas kernel as the local scan: forward and
+    gradients match the single-device scan."""
+    G, L, d, N = 2, 64, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(3), 7)
+    u = jax.random.normal(ks[0], (G, L, d))
+    delta = jax.random.normal(ks[1], (G, L, d)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (d, N)) * 0.5)
+    B = jax.random.normal(ks[3], (G, L, N))
+    C = jax.random.normal(ks[4], (G, L, N))
+    D = jax.random.normal(ks[5], (d,))
+    bias = jax.random.normal(ks[6], (d,)) * 0.1
+
+    def loss_cp(args):
+        u, delta, A, B, C, D, bias = args
+        y = sequence_parallel_scan(
+            u, delta, A, B, C, D=D, delta_bias=bias, delta_softplus=True,
+            reverse=reverse, mesh=mesh8, axis="data",
+            local_impl="pallas_interpret")
+        return jnp.sum(jnp.square(y))
+
+    def loss_ref(args):
+        u, delta, A, B, C, D, bias = args
+        y = selective_scan(u, delta, A, B, C, D=D, delta_bias=bias,
+                           delta_softplus=True, reverse=reverse)
+        return jnp.sum(jnp.square(y))
+
+    args = (u, delta, A, B, C, D, bias)
+    v_cp, g_cp = jax.value_and_grad(loss_cp)(args)
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(args)
+    np.testing.assert_allclose(float(v_cp), float(v_ref), rtol=1e-4)
+    for n, a, b in zip("u delta A B C D bias".split(), g_cp, g_ref):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=5e-3, err_msg=f"{n} reverse={reverse}")
