@@ -200,7 +200,28 @@ def finetune_one(
     return {"best_val": float(best_val), **{f"test_{k}": v for k, v in test.items()}}
 
 
+def _load_preset(argv):
+    """--preset <yaml>: flat keys become argparse defaults (downstream
+    presets in configs/, parity with the reference's experiment configs)."""
+    argv = list(argv)
+    if "--preset" not in argv:
+        return {}, argv
+    i = argv.index("--preset")
+    path = argv[i + 1]
+    argv = argv[:i] + argv[i + 2:]
+    import yaml
+
+    with open(path) as f:
+        flat = yaml.safe_load(f) or {}
+    return {k.replace("-", "_"): v for k, v in flat.items()}, argv
+
+
 def main(argv=None):
+    import sys
+
+    preset, argv = _load_preset(
+        argv if argv is not None else sys.argv[1:]
+    )
     p = argparse.ArgumentParser(prog="finetune")
     p.add_argument("--data-dir", required=True)
     p.add_argument("--task", required=True)
@@ -229,6 +250,7 @@ def main(argv=None):
     p.add_argument("--problem-type", default="single_label_classification",
                    choices=["single_label_classification", "regression",
                             "multi_label_classification"])
+    p.set_defaults(**preset)
     args = p.parse_args(argv)
 
     import jax

@@ -22,6 +22,7 @@ Parameter initializers reproduce the reference's torch init distributions
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -31,6 +32,10 @@ import jax.numpy as jnp
 from caduceus_tpu.config import CaduceusConfig
 from caduceus_tpu.ops.conv import causal_conv1d
 from caduceus_tpu.ops.selective_scan import selective_scan
+
+# Pallas kernel launch geometry (bench-sweepable)
+_SCAN_CHUNK = int(os.environ.get("CADUCEUS_SCAN_CHUNK", 128))
+_SCAN_GB = int(os.environ.get("CADUCEUS_SCAN_GROUP_BLOCK", 8))
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +137,7 @@ def ssm_branch(
         def call(u_, d_, A_, B_, C_, D_, bias_):
             return selective_scan_pallas(
                 u_, d_, A_, B_, C_, D_, None,
-                True, reverse, 128, 8, interp, bias_,
+                True, reverse, _SCAN_CHUNK, _SCAN_GB, interp, bias_,
             )
 
         if tp_axis:
@@ -421,7 +426,7 @@ class BiMamba(nn.Module):
                          bf, br):
                     return bidir_selective_scan_pallas(
                         uf, df, Bf, Cf, ur, dr, Br, Cr, Af, Ar, Df, Dr,
-                        bf, br, True, 128, 8, interp,
+                        bf, br, True, _SCAN_CHUNK, _SCAN_GB, interp,
                     )
 
                 args = (

@@ -221,3 +221,17 @@ def test_vep_non_rcps_rc_forwards(tmp_path):
     d2 = np.load(combine_embeddings(out2, 1))
     # rc averaging changes the embedding (extra strand information)
     assert not np.allclose(d1["features"], d2["features"])
+
+
+def test_finetune_preset_loading(task_dir):
+    """--preset YAML feeds argparse defaults (downstream preset parity)."""
+    from caduceus_tpu.finetune import main as ft_main
+
+    res = ft_main([
+        "--preset", "configs/genomic_benchmark.yaml",
+        "--data-dir", task_dir, "--task", "demo",
+        "--max-length", "64", "--batch-size", "16",  # explicit overrides win
+        "--epochs", "1", "--seeds", "0",
+        "--d-model", "16", "--n-layer", "1",
+    ])
+    assert "mean_test_accuracy" in res
