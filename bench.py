@@ -36,6 +36,10 @@ def main():
         if rc != 0:
             sys.exit(rc)
 
+    from caduceus_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -281,6 +281,9 @@ def main():
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m caduceus_tpu.cli {{{','.join(cmds)}}} ...")
         sys.exit(2)
+    from caduceus_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     _maybe_init_distributed()
     cmds[sys.argv[1]](sys.argv[2:])
 

@@ -22,7 +22,8 @@ from typing import Dict, Optional
 import numpy as np
 
 
-def _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side):
+def _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side,
+                     encoder="id"):
     """The reference fine-tuning stack: DNAEmbeddingModelCaduceus backbone
     (`src/models/sequence/dna_embedding.py:156-195`) + SequenceDecoder
     (`src/tasks/decoders.py:40-161`) with shared-head strand averaging.
@@ -35,7 +36,13 @@ def _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side):
     import jax.numpy as jnp
 
     from caduceus_tpu.models.caduceus import CaduceusBackbone
+    from caduceus_tpu.models.encoders import make_encoder
     from caduceus_tpu.models.heads import SequenceDecoder
+
+    if encoder not in ("id", "stop", "identity"):
+        assert not cfg.rcps, (
+            "non-identity encoders bypass the complement map; use rcps=False"
+        )
 
     class DNAClassifier(nn.Module):
         @nn.compact
@@ -48,7 +55,15 @@ def _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side):
             )
             if not use_lengths:
                 lengths = None
-            if cfg.rcps:
+            if encoder not in ("id", "stop", "identity"):
+                # reference `src/tasks/encoders.py`: encoder output feeds
+                # the backbone in place of its internal token embedding
+                enc = make_encoder(
+                    encoder, d_model=cfg.d_model,
+                    n_tokens=cfg.padded_vocab_size, name="encoder",
+                )
+                x, _ = backbone(None, inputs_embeds=enc(ids))
+            elif cfg.rcps:
                 h, _ = backbone(ids)  # (2, B, L, d) canonical == the
                 # reference's stacked [h[..., :d], flip(h[..., d:])]
                 # channels (`dna_embedding.py:181-187`)
@@ -80,6 +95,7 @@ def finetune_one(
     freeze_backbone: bool = False,
     use_lengths: bool = False,
     layer_decay: Optional[float] = None,
+    encoder: str = "id",
     log_fn=None,
 ) -> Dict[str, float]:
     """Train one downstream run; returns best-val and test metrics."""
@@ -93,7 +109,8 @@ def finetune_one(
 
     log = log_fn or (lambda m: print(json.dumps(m)))
     padding_side = getattr(dm.tokenizer, "padding_side", "left")
-    model = _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side)
+    model = _make_classifier(cfg, num_labels, pooling, use_lengths,
+                             padding_side, encoder=encoder)
 
     example = next(dm.batches("train", seed=seed))
     params = model.init(
@@ -247,6 +264,10 @@ def main(argv=None):
                         "use_lengths/ragged modes)")
     p.add_argument("--layer-decay", type=float, default=None,
                    help="layer-wise lr decay factor (`train.py:496-541`)")
+    p.add_argument("--encoder", default="id",
+                   choices=["id", "embedding", "onehot"],
+                   help="input encoder in place of the backbone embedding "
+                        "(reference src/tasks/encoders.py registry)")
     p.add_argument("--problem-type", default="single_label_classification",
                    choices=["single_label_classification", "regression",
                             "multi_label_classification"])
@@ -312,6 +333,7 @@ def main(argv=None):
             problem_type=args.problem_type,
             freeze_backbone=args.freeze_backbone,
             use_lengths=args.use_lengths, layer_decay=args.layer_decay,
+            encoder=args.encoder,
         )
         r["seed"] = seed
         results.append(r)

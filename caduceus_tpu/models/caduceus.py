@@ -93,10 +93,15 @@ class CaduceusBackbone(nn.Module):
     scan_chunk_size: int = 256
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray):
+    def __call__(self, input_ids: jnp.ndarray, inputs_embeds=None):
         """Returns (hidden, embed_table); the table enables structural
         LM-head weight tying (`modeling_caduceus.py:434-439`) without scope
-        tricks."""
+        tricks.
+
+        ``inputs_embeds`` (non-RCPS only): precomputed (B, L, d_model)
+        inputs — the hook for external encoders (reference
+        `src/tasks/encoders.py` linear/embedding encoders feeding the
+        backbone in place of its own token embedding)."""
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
         V = c.padded_vocab_size
@@ -108,17 +113,26 @@ class CaduceusBackbone(nn.Module):
             jnp.dtype(c.param_dtype),
         )
 
-        if c.rcps:
-            cm = c.padded_complement_map()
-            assert cm is not None, "RCPS requires a complement_map"
-            complement = jnp.asarray([cm[i] for i in range(V)], jnp.int32)
-            ids2 = reverse_complement_ids(input_ids, complement)
-            ids = jnp.stack([input_ids, ids2], axis=0)  # (2, B, L)
+        if inputs_embeds is not None:
+            assert not c.rcps, (
+                "inputs_embeds bypasses the token complement map; RCPS "
+                "needs token ids"
+            )
+            S = 1
+            B, L = inputs_embeds.shape[:2]
+            h = inputs_embeds.astype(dtype)
         else:
-            ids = input_ids[None]  # (1, B, L)
+            if c.rcps:
+                cm = c.padded_complement_map()
+                assert cm is not None, "RCPS requires a complement_map"
+                complement = jnp.asarray([cm[i] for i in range(V)], jnp.int32)
+                ids2 = reverse_complement_ids(input_ids, complement)
+                ids = jnp.stack([input_ids, ids2], axis=0)  # (2, B, L)
+            else:
+                ids = input_ids[None]  # (1, B, L)
 
-        S, B, L = ids.shape
-        h = embed_table.astype(dtype)[ids.reshape(S * B, L)]  # (S*B, L, d)
+            S, B, L = ids.shape
+            h = embed_table.astype(dtype)[ids.reshape(S * B, L)]  # (S*B, L, d)
 
         residual = None
         blocks = [

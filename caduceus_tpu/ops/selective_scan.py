@@ -130,8 +130,16 @@ def _scan_chunk(h0, chunk, A, D, delta_bias, delta_softplus, reverse, out_dtype)
     # decay and driving terms, (B, Ck, d, N)
     dA = jnp.exp(d_c[..., None] * A[None, None])
     dBu = (d_c * uf)[..., None] * Bf[:, :, None, :]
-    acc_a, acc_b = lax.associative_scan(_combine, (dA, dBu), axis=1, reverse=reverse)
-    h = acc_a * h0[:, None] + acc_b  # (B, Ck, d, N)
+    # The associative scan runs on 3-D (B, Ck, d*N) operands: XLA:TPU
+    # miscompiles the ADJOINT of a 4-D (batch>1) associative_scan when a
+    # forward- and a reverse-direction scan share one grad program (grads
+    # off by ~0.3 rel. vs CPU at (4, L, 16, 512); bit-exact once the
+    # trailing dims are merged — see scripts/verify_tpu.py oracle notes).
+    bsz, ck = dA.shape[0], dA.shape[1]
+    flat = lambda t: t.reshape(bsz, ck, -1)
+    acc_a, acc_b = lax.associative_scan(
+        _combine, (flat(dA), flat(dBu)), axis=1, reverse=reverse)
+    h = acc_a.reshape(dA.shape) * h0[:, None] + acc_b.reshape(dA.shape)
     y = jnp.einsum("bldn,bln->bld", h, Cf)
     if D is not None:
         y = y + uf * D.astype(jnp.float32)

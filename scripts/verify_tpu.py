@@ -19,6 +19,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from caduceus_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
