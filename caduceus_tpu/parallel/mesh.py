@@ -70,6 +70,13 @@ def shard_batch(mesh: Mesh, batch):
                 f"mesh 'data' axis ({data_size}); set batch_size to a multiple "
                 f"of the data-parallel degree or pass a smaller mesh"
             )
+    if mesh.devices.size == 1:
+        # Plain (uncommitted) placement. Semantically identical on one
+        # device, and it avoids committing the jitted step's donated state
+        # to a NamedSharding — which, through the axon remote-TPU tunnel,
+        # flips every later dispatch onto a slow path (~6 s/step measured
+        # at the 131k headline config; local TPU VMs are unaffected).
+        return jax.device_put(batch)
     if jax.process_count() == 1:
         return jax.device_put(batch, sharding)
     return jax.tree_util.tree_map(

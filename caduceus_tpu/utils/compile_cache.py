@@ -16,6 +16,12 @@ def enable_compile_cache() -> None:
     """Idempotently enable JAX's persistent compilation cache."""
     if os.environ.get("CADUCEUS_NO_COMPILE_CACHE") == "1":
         return
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        # CPU AOT cache entries embed host machine features; sharing them
+        # across the remote-compile host and this machine SIGILL-risks.
+        # CPU compiles are fast anyway — cache only the tunnel-compiled TPU
+        # programs.
+        return
     import jax
 
     cache_dir = os.environ.get(
