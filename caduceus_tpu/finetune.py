@@ -23,7 +23,7 @@ import numpy as np
 
 
 def _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side,
-                     encoder="id"):
+                     encoder="id", model_kind="caduceus"):
     """The reference fine-tuning stack: DNAEmbeddingModelCaduceus backbone
     (`src/models/sequence/dna_embedding.py:156-195`) + SequenceDecoder
     (`src/tasks/decoders.py:40-161`) with shared-head strand averaging.
@@ -39,6 +39,23 @@ def _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side,
     from caduceus_tpu.models.encoders import make_encoder
     from caduceus_tpu.models.heads import SequenceDecoder
 
+    if model_kind == "cnn":
+        # from-scratch CNN baseline (reference
+        # `configs/experiment/hg38/genomic_benchmark_cnn.yaml` +
+        # `src/models/baseline/genomics_benchmark_cnn.py`): plain (B, L)
+        # ids, BatchNorm running stats as a mutable collection.
+        from caduceus_tpu.models.cnn import GenomicsBenchmarkCNN
+
+        class CNNClassifier(nn.Module):
+            @nn.compact
+            def __call__(self, ids, lengths=None, train=False):
+                assert ids.ndim == 2, "CNN baseline takes plain (B, L) ids"
+                return GenomicsBenchmarkCNN(
+                    num_classes=num_labels, name="cnn"
+                )(ids, train=train)
+
+        return CNNClassifier()
+
     if encoder not in ("id", "stop", "identity"):
         assert not cfg.rcps, (
             "non-identity encoders bypass the complement map; use rcps=False"
@@ -46,7 +63,7 @@ def _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side,
 
     class DNAClassifier(nn.Module):
         @nn.compact
-        def __call__(self, ids, lengths=None):
+        def __call__(self, ids, lengths=None, train=False):
             backbone = CaduceusBackbone(cfg, name="backbone")
             dec = SequenceDecoder(
                 num_labels, mode=pooling,
@@ -96,6 +113,7 @@ def finetune_one(
     use_lengths: bool = False,
     layer_decay: Optional[float] = None,
     encoder: str = "id",
+    model_kind: str = "caduceus",
     log_fn=None,
 ) -> Dict[str, float]:
     """Train one downstream run; returns best-val and test metrics."""
@@ -109,14 +127,23 @@ def finetune_one(
 
     log = log_fn or (lambda m: print(json.dumps(m)))
     padding_side = getattr(dm.tokenizer, "padding_side", "left")
+    if model_kind == "cnn":
+        assert pretrained_params is None and not freeze_backbone, (
+            "the CNN baseline trains from scratch (no backbone)"
+        )
     model = _make_classifier(cfg, num_labels, pooling, use_lengths,
-                             padding_side, encoder=encoder)
+                             padding_side, encoder=encoder,
+                             model_kind=model_kind)
 
     example = next(dm.batches("train", seed=seed))
-    params = model.init(
+    variables = model.init(
         jax.random.PRNGKey(seed), jnp.asarray(example["input_ids"]),
         jnp.asarray(example["lengths"]),
     )
+    # non-param collections (CNN BatchNorm running stats) are carried
+    # alongside the optimizer state, not optimized
+    extra0 = {k: v for k, v in variables.items() if k != "params"}
+    params = {"params": variables["params"]}
     if pretrained_params is not None:
         params = load_backbone(pretrained_params, params)
 
@@ -130,8 +157,13 @@ def finetune_one(
     )
     opt_state = tx.init(params)
 
-    def loss_fn(p, ids, labels, lengths):
-        logits = model.apply(p, ids, lengths)
+    def loss_fn(p, extra, ids, labels, lengths):
+        if extra:
+            logits, new_extra = model.apply(
+                {**p, **extra}, ids, lengths, True, mutable=list(extra)
+            )
+        else:
+            logits, new_extra = model.apply(p, ids, lengths, True), extra
         # problem-type dispatch (`modeling_caduceus.py:612-631`)
         if problem_type == "regression":
             loss = jnp.mean(jnp.square(jnp.squeeze(logits) - jnp.squeeze(labels)))
@@ -139,7 +171,7 @@ def finetune_one(
             loss = optax.sigmoid_binary_cross_entropy(logits, labels).mean()
         else:
             loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
-        return loss, logits
+        return loss, (logits, new_extra)
 
     def zero_backbone_grads(g):
         # freeze option (`load_backbone` freeze, `dna_embedding.py:248-252`)
@@ -151,24 +183,24 @@ def finetune_one(
         )
 
     @jax.jit
-    def train_step(p, o, ids, labels, lengths):
-        (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, ids, labels, lengths
+    def train_step(p, o, extra, ids, labels, lengths):
+        (loss, (_, extra)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, extra, ids, labels, lengths
         )
         if freeze_backbone:
             g = zero_backbone_grads(g)
         updates, o = tx.update(g, o, p)
-        return optax.apply_updates(p, updates), o, loss
+        return optax.apply_updates(p, updates), o, extra, loss
 
     @jax.jit
-    def predict(p, ids, lengths):
-        return model.apply(p, ids, lengths)  # raw fp32 scores
+    def predict(p, extra, ids, lengths):
+        return model.apply({**p, **extra}, ids, lengths)  # raw fp32 scores
 
-    def eval_split(p, split):
+    def eval_split(p, extra, split):
         scores, labels = [], []
         for batch in dm.batches(split, shuffle=False, drop_last=False):
             scores.append(np.asarray(predict(
-                p, jnp.asarray(batch["input_ids"]),
+                p, extra, jnp.asarray(batch["input_ids"]),
                 jnp.asarray(batch["lengths"]),
             )))
             labels.append(batch["labels"])
@@ -199,20 +231,21 @@ def finetune_one(
 
     sel_metric = "mse" if problem_type == "regression" else metric
     best_val = np.inf if problem_type == "regression" else -np.inf
-    best_params = params
+    best_params, best_extra = params, extra0
+    extra = extra0
     for epoch in range(epochs):
         for batch in dm.batches("train", epoch=epoch, seed=seed):
-            params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(batch["input_ids"]),
+            params, opt_state, extra, loss = train_step(
+                params, opt_state, extra, jnp.asarray(batch["input_ids"]),
                 jnp.asarray(batch["labels"]), jnp.asarray(batch["lengths"]),
             )
-        val = eval_split(params, "val")
+        val = eval_split(params, extra, "val")
         score = val.get(sel_metric, next(iter(val.values())))
         log({"epoch": epoch, "loss": float(loss), **{f"val/{k}": v for k, v in val.items()}})
         if better(score, best_val):
-            best_val, best_params = score, params
+            best_val, best_params, best_extra = score, params, extra
 
-    test = eval_split(best_params, "test")
+    test = eval_split(best_params, best_extra, "test")
     log({f"test/{k}": v for k, v in test.items()})
     return {"best_val": float(best_val), **{f"test_{k}": v for k, v in test.items()}}
 
@@ -255,6 +288,9 @@ def main(argv=None):
     p.add_argument("--conjoin-test", action="store_true")
     p.add_argument("--rc-aug", action="store_true")
     p.add_argument("--metric", default="all")
+    p.add_argument("--model", default="caduceus", choices=["caduceus", "cnn"],
+                   help="cnn = from-scratch GenomicsBenchmarkCNN baseline "
+                        "(`configs/experiment/hg38/genomic_benchmark_cnn.yaml`)")
     p.add_argument("--d-model", type=int, default=128)
     p.add_argument("--n-layer", type=int, default=4)
     p.add_argument("--no-rcps", action="store_true")
@@ -296,6 +332,8 @@ def main(argv=None):
         )
 
     pretrained_params = None
+    if args.model == "cnn":
+        assert not args.pretrained_run_dir, "CNN baseline trains from scratch"
     if args.pretrained_run_dir:
         from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
         from caduceus_tpu.train.checkpoint import latest_step, restore_checkpoint
@@ -333,7 +371,7 @@ def main(argv=None):
             problem_type=args.problem_type,
             freeze_backbone=args.freeze_backbone,
             use_lengths=args.use_lengths, layer_decay=args.layer_decay,
-            encoder=args.encoder,
+            encoder=args.encoder, model_kind=args.model,
         )
         r["seed"] = seed
         results.append(r)

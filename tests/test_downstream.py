@@ -111,6 +111,17 @@ def test_cnn_baseline(task_dir):
     assert "batch_stats" in mutated
 
 
+def test_finetune_cnn_baseline(task_dir):
+    # --model cnn path: BatchNorm stats carried as a mutable collection,
+    # trains from scratch (`configs/experiment/hg38/genomic_benchmark_cnn.yaml`)
+    from caduceus_tpu.finetune import finetune_one
+
+    dm = ClassificationDataModule(task_dir, "demo", max_length=64, batch_size=16)
+    res = finetune_one(small_cfg(), dm, num_labels=2, epochs=3, lr=2e-3,
+                       model_kind="cnn", log_fn=lambda m: None)
+    assert res["test_accuracy"] > 0.55, res
+
+
 def test_vep_pipeline(tmp_path):
     from caduceus_tpu.data.fasta import FastaFile, write_fasta
     from caduceus_tpu.models.caduceus import Caduceus
