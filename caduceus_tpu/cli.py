@@ -119,9 +119,18 @@ def cmd_pretrain(argv):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--use-native-loader", action="store_true")
     p.add_argument("--ema-decay", type=float, default=0.0)
+    p.add_argument("--model", default="caduceus",
+                   choices=["caduceus", "mamba", "hyena"],
+                   help="caduceus (BiMamba/RCPS, MLM or NTP); mamba = "
+                        "unidirectional NTP (`dna_embedding.py:99-153`); "
+                        "hyena = HyenaDNA-style NTP LM with dropout + "
+                        "filter lr groups (`long_conv_lm.py`, "
+                        "`configs/model/hyena.yaml`)")
     _add_common_model_args(p)
     p.set_defaults(**preset)
     args = p.parse_args(argv)
+    if args.model in ("mamba", "hyena") and not args.ntp:
+        p.error(f"--model {args.model} is causal: pretrain with --ntp")
 
     import jax
 
@@ -142,11 +151,33 @@ def cmd_pretrain(argv):
         world_size=jax.process_count(),
         use_native=args.use_native_loader,
     )
-    cfg = _build_model_config(args, dm.tokenizer)
     os.makedirs(args.run_dir, exist_ok=True)
-    cfg.save(os.path.join(args.run_dir, "model_config.json"))
+    lr_overrides = None
+    dropout = False
+    if args.model == "hyena":
+        import json as _json
 
-    model = CaduceusForMaskedLM(cfg)
+        from caduceus_tpu.models.hyena import HyenaLMHeadModel
+        from caduceus_tpu.train.optim import hyena_lr_overrides
+
+        hy = dict(d_model=args.d_model, n_layer=args.n_layer,
+                  vocab_size=dm.tokenizer.vocab_size, l_max=args.max_length,
+                  dtype=args.dtype)
+        with open(os.path.join(args.run_dir, "model_config.json"), "w") as f:
+            _json.dump({"model_type": "hyena", **hy}, f, indent=2)
+        model = HyenaLMHeadModel(**hy)
+        # `configs/model/hyena.yaml:22-24`: filter MLP at base lr / wd 0,
+        # pos-emb z frozen; embed/resid dropout on
+        lr_overrides = hyena_lr_overrides(args.lr)
+        dropout = True
+    else:
+        cfg = _build_model_config(args, dm.tokenizer)
+        if args.model == "mamba":
+            # unidirectional causal Mamba LM (`dna_embedding.py:99-153`)
+            cfg.rcps = False
+            cfg.bidirectional = False
+        cfg.save(os.path.join(args.run_dir, "model_config.json"))
+        model = CaduceusForMaskedLM(cfg)
     tcfg = TrainerConfig(
         max_steps=args.max_steps,
         run_dir=args.run_dir,
@@ -155,13 +186,15 @@ def cmd_pretrain(argv):
         weight_decay=args.weight_decay,
         accum_steps=args.accum_steps,
         ema_decay=args.ema_decay,
+        dropout=dropout,
     )
     from caduceus_tpu.utils.logging import make_logger, param_count
 
     log_fn = make_logger(run_dir=args.run_dir, rank=jax.process_index())
     train_loader = dm.train_loader()
     trainer = Trainer(model, tcfg, train_loader, dm.eval_loader("valid"),
-                      ignore_index=dm.tokenizer.pad_token_id, log_fn=log_fn)
+                      ignore_index=dm.tokenizer.pad_token_id, log_fn=log_fn,
+                      lr_overrides=lr_overrides)
     trainer.init_state(next(iter(train_loader)))
     log_fn(param_count(trainer.state.params))
     if args.resume:
@@ -199,12 +232,30 @@ def cmd_eval(argv):
     from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
     from caduceus_tpu.train.trainer import Trainer, TrainerConfig
 
-    cfg = CaduceusConfig.load(os.path.join(args.run_dir, "model_config.json"))
+    cfg_path = os.path.join(args.run_dir, "model_config.json")
+    with open(cfg_path) as f:
+        raw = json.load(f)
+    lr_overrides = None
+    if raw.get("model_type") == "hyena":
+        from caduceus_tpu.models.hyena import HyenaLMHeadModel
+        from caduceus_tpu.train.optim import hyena_lr_overrides
+
+        model = HyenaLMHeadModel(
+            **{k: v for k, v in raw.items() if k != "model_type"}
+        )
+        mlm = False
+        # same optimizer transform chain as pretrain, so the checkpointed
+        # opt-state pytree matches the restore template
+        lr_overrides = hyena_lr_overrides(TrainerConfig.lr)
+    else:
+        cfg = CaduceusConfig.load(cfg_path)
+        model = CaduceusForMaskedLM(cfg)
+        mlm = True
     dm = HG38DataModule(args.bed, args.fasta, max_length=args.max_length,
-                        batch_size=args.batch_size)
-    model = CaduceusForMaskedLM(cfg)
+                        batch_size=args.batch_size, mlm=mlm)
     tcfg = TrainerConfig(run_dir=args.run_dir)
-    trainer = Trainer(model, tcfg, dm.train_loader(), dm.eval_loader(args.split))
+    trainer = Trainer(model, tcfg, dm.train_loader(), dm.eval_loader(args.split),
+                      lr_overrides=lr_overrides)
     trainer.init_state(next(iter(trainer.train_loader)))
     assert trainer.restore_checkpoint(), "no checkpoint found"
     print(json.dumps(trainer.evaluate(max_batches=args.max_batches)))
@@ -270,7 +321,8 @@ def _maybe_init_distributed():
         jax.distributed.initialize()
 
 
-def main():
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else list(argv)
     cmds = {
         "pretrain": cmd_pretrain,
         "finetune": cmd_finetune,
@@ -278,14 +330,14 @@ def main():
         "eval": cmd_eval,
         "generate": cmd_generate,
     }
-    if len(sys.argv) < 2 or sys.argv[1] not in cmds:
+    if not argv or argv[0] not in cmds:
         print(f"usage: python -m caduceus_tpu.cli {{{','.join(cmds)}}} ...")
         sys.exit(2)
     from caduceus_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
     _maybe_init_distributed()
-    cmds[sys.argv[1]](sys.argv[2:])
+    cmds[argv[0]](argv[1:])
 
 
 if __name__ == "__main__":

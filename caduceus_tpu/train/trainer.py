@@ -229,6 +229,7 @@ class TrainerConfig:
     accum_steps: int = 1
     prefetch: int = 2  # device-prefetch queue depth (0 disables)
     ema_decay: float = 0.0  # 0 disables EMA tracking
+    dropout: bool = False  # thread dropout rngs (models with dropout layers)
     profile_dir: Optional[str] = None  # jax.profiler trace capture
     run_dir: str = "./outputs/run"
     seed: int = 2222
@@ -256,6 +257,7 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         ignore_index: int = 4,
         log_fn: Optional[Callable[[Dict], None]] = None,
+        lr_overrides=None,
     ):
         self.model = model
         self.cfg = cfg
@@ -278,6 +280,9 @@ class Trainer:
             warmup_lr_init=cfg.warmup_lr_init,
             gradient_clip=cfg.gradient_clip,
         )
+        # per-param lr groups (e.g. hyena_lr_overrides) need a params
+        # example; the optimizer is rebuilt with them in init_state
+        self._lr_overrides = lr_overrides
         self._train_step = None
         self._eval_step = None
         self.state: Optional[TrainState] = None
@@ -287,9 +292,25 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.seed)
         ids = jnp.asarray(example_batch["input_ids"][:1])
         params = self.model.init(rng, ids)
+        if self._lr_overrides is not None:
+            # rebuild with the per-param groups now that params exist
+            warmup_t = int(self.cfg.warmup_frac * self.cfg.max_steps)
+            self.tx, self.schedule = make_optimizer(
+                lr=self.cfg.lr, weight_decay=self.cfg.weight_decay,
+                betas=self.cfg.betas, warmup_t=warmup_t,
+                t_initial=self.cfg.max_steps - warmup_t,
+                lr_min=self.cfg.lr_min,
+                warmup_lr_init=self.cfg.warmup_lr_init,
+                gradient_clip=self.cfg.gradient_clip,
+                params_example=params, lr_overrides=self._lr_overrides,
+            )
         opt_state = self.tx.init(params)
-        rep = replicated(self.mesh)
-        params, opt_state = jax.device_put((params, opt_state), rep)
+        if self.mesh.devices.size > 1:
+            rep = replicated(self.mesh)
+            params, opt_state = jax.device_put((params, opt_state), rep)
+        # (on a 1-device mesh the state stays uncommitted — a NamedSharding
+        # commitment makes every later dispatch through the axon tunnel
+        # ~6 s slower; see parallel/mesh.py shard_batch note)
         ema = (
             jax.tree_util.tree_map(jnp.copy, params)
             if self.cfg.ema_decay > 0 else None
@@ -302,6 +323,7 @@ class Trainer:
         step_fn = make_train_step(
             apply_fn, self.tx, self.ignore_index, self.cfg.accum_steps,
             ema_decay=self.cfg.ema_decay,
+            dropout=self.cfg.dropout, dropout_seed=self.cfg.seed,
         )
         self._train_step = jax.jit(step_fn, donate_argnums=0)
         self._eval_step = jax.jit(make_eval_step(

@@ -232,3 +232,32 @@ def test_train_step_with_loss_weights():
     step = jax.jit(make_train_step(model.apply, tx, accum_steps=2))
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_cli_pretrain_model_selection(tmp_path):
+    """`--model hyena` (dropout + filter lr groups through the Trainer)
+    and `--model mamba` (unidirectional NTP) pretrain + hyena eval via
+    the CLI (`train.py` model registry parity)."""
+    import json as _json
+
+    from caduceus_tpu.cli import main as cli_main
+    from caduceus_tpu.data.synthetic import make_synthetic_genome
+
+    fasta, bed = make_synthetic_genome(str(tmp_path), n_chromosomes=1,
+                                       chrom_len=1 << 11, window=1 << 9)
+    run = str(tmp_path / "hy")
+    cli_main(["pretrain", "--fasta", fasta, "--bed", bed,
+              "--max-length", "64", "--batch-size", "8", "--max-steps", "3",
+              "--d-model", "16", "--n-layer", "2", "--dtype", "float32",
+              "--model", "hyena", "--ntp", "--run-dir", run])
+    art = _json.load(open(f"{run}/model_config.json"))
+    assert art["model_type"] == "hyena"
+    cli_main(["eval", "--fasta", fasta, "--bed", bed, "--run-dir", run,
+              "--max-length", "64", "--batch-size", "8", "--max-batches", "1"])
+    run2 = str(tmp_path / "mb")
+    cli_main(["pretrain", "--fasta", fasta, "--bed", bed,
+              "--max-length", "64", "--batch-size", "8", "--max-steps", "3",
+              "--d-model", "16", "--n-layer", "2", "--dtype", "float32",
+              "--model", "mamba", "--ntp", "--run-dir", run2])
+    art2 = _json.load(open(f"{run2}/model_config.json"))
+    assert art2["rcps"] is False and art2["bidirectional"] is False
