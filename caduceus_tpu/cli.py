@@ -118,6 +118,11 @@ def cmd_pretrain(argv):
     p.add_argument("--seed", type=int, default=2222)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--use-native-loader", action="store_true")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="device-prefetch queue depth; 0 serializes the input "
+                        "stream (use 0 on remote/tunneled TPUs where "
+                        "transfers concurrent with execution serialize — see "
+                        "bench.py BENCH_PRESTAGE note)")
     p.add_argument("--ema-decay", type=float, default=0.0)
     p.add_argument("--model", default="caduceus",
                    choices=["caduceus", "mamba", "hyena"],
@@ -164,7 +169,8 @@ def cmd_pretrain(argv):
                   vocab_size=dm.tokenizer.vocab_size, l_max=args.max_length,
                   dtype=args.dtype)
         with open(os.path.join(args.run_dir, "model_config.json"), "w") as f:
-            _json.dump({"model_type": "hyena", **hy}, f, indent=2)
+            _json.dump({"model_type": "hyena", "objective": "ntp", **hy},
+                       f, indent=2)
         model = HyenaLMHeadModel(**hy)
         # `configs/model/hyena.yaml:22-24`: filter MLP at base lr / wd 0,
         # pos-emb z frozen; embed/resid dropout on
@@ -176,7 +182,12 @@ def cmd_pretrain(argv):
             # unidirectional causal Mamba LM (`dna_embedding.py:99-153`)
             cfg.rcps = False
             cfg.bidirectional = False
-        cfg.save(os.path.join(args.run_dir, "model_config.json"))
+        # record the pretraining objective so `eval` rebuilds the right task
+        # (NTP-pretrained models must not be scored against MLM-masked data)
+        meta = cfg.to_dict()
+        meta["objective"] = "ntp" if args.ntp else "mlm"
+        with open(os.path.join(args.run_dir, "model_config.json"), "w") as f:
+            json.dump(meta, f, indent=2)
         model = CaduceusForMaskedLM(cfg)
     tcfg = TrainerConfig(
         max_steps=args.max_steps,
@@ -187,6 +198,7 @@ def cmd_pretrain(argv):
         accum_steps=args.accum_steps,
         ema_decay=args.ema_decay,
         dropout=dropout,
+        prefetch=args.prefetch,
     )
     from caduceus_tpu.utils.logging import make_logger, param_count
 
@@ -241,7 +253,8 @@ def cmd_eval(argv):
         from caduceus_tpu.train.optim import hyena_lr_overrides
 
         model = HyenaLMHeadModel(
-            **{k: v for k, v in raw.items() if k != "model_type"}
+            **{k: v for k, v in raw.items()
+               if k not in ("model_type", "objective")}
         )
         mlm = False
         # same optimizer transform chain as pretrain, so the checkpointed
@@ -250,7 +263,8 @@ def cmd_eval(argv):
     else:
         cfg = CaduceusConfig.load(cfg_path)
         model = CaduceusForMaskedLM(cfg)
-        mlm = True
+        # objective recorded at pretrain time (older runs default to MLM)
+        mlm = raw.get("objective", "mlm") == "mlm"
     dm = HG38DataModule(args.bed, args.fasta, max_length=args.max_length,
                         batch_size=args.batch_size, mlm=mlm)
     tcfg = TrainerConfig(run_dir=args.run_dir)

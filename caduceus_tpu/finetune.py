@@ -81,6 +81,10 @@ def _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side,
                 )
                 x, _ = backbone(None, inputs_embeds=enc(ids))
             elif cfg.rcps:
+                assert ids.ndim == 2, (
+                    "rcps backbone takes plain (B, L) ids — conjoined "
+                    "(B, L, 2) inputs are the non-rcps (Caduceus-Ph) recipe"
+                )
                 h, _ = backbone(ids)  # (2, B, L, d) canonical == the
                 # reference's stacked [h[..., :d], flip(h[..., d:])]
                 # channels (`dna_embedding.py:181-187`)
@@ -330,6 +334,17 @@ def main(argv=None):
             ssm_cfg=SSMConfig(), rcps=not args.no_rcps,
             complement_map=tok.complement_map,
         )
+
+    if (args.conjoin_train or args.conjoin_test) and cfg.rcps and \
+            args.model != "cnn":
+        # Reference semantics (`modeling_caduceus.py:562-592`): rcps and
+        # conjoin are mutually exclusive backbone modes — conjoining is the
+        # post-hoc (Caduceus-Ph) recipe for NON-rcps models. Fail here with
+        # a clear message instead of a shape error after a wasted epoch.
+        p.error("--conjoin-train/--conjoin-test require a non-rcps model "
+                "(pass --no-rcps, or point at a non-rcps pretrained config); "
+                "an RCPS backbone is already RC-equivariant and takes plain "
+                "(B, L) inputs")
 
     pretrained_params = None
     if args.model == "cnn":

@@ -303,6 +303,7 @@ def _cp_scan(dp: "_DirectionParams", cfg: CaduceusConfig, xi: jnp.ndarray,
         xc, draw, -jnp.exp(dp.A_log.astype(jnp.float32)), B_mat, C,
         D=dp.D, delta_bias=dp.dt_proj_b, delta_softplus=True,
         reverse=reverse, mesh=mesh, axis=cfg.context_parallel_axis,
+        chunk_size=_SCAN_CHUNK, group_block=_SCAN_GB,
         local_impl=dp._resolved_kernel(),
     )
     L, di = xi.shape[-2], xi.shape[-1]

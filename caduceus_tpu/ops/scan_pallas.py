@@ -63,11 +63,44 @@ _VMEM_BUDGET = int(os.environ.get("CADUCEUS_SCAN_VMEM_BUDGET", 8 * 1024 * 1024))
 # ===========================================================================
 
 def _pick_unroll(T: int, requested: int) -> int:
-    """Largest divisor of T that is <= requested."""
+    """Largest divisor of T that is <= requested AND a multiple of 8 (or 1).
+
+    Slab starts are dynamic sublane offsets into fp32 scratch; Mosaic needs
+    them provably 8-aligned, so any unroll > 1 must be a multiple of 8 —
+    otherwise fall back to the safe per-position loop (U=1) instead of
+    shipping a kernel Mosaic may reject or mis-lay-out.
+    """
     u = max(1, min(requested, T))
-    while T % u != 0:
+    while u > 1 and (T % u != 0 or u % 8 != 0):
         u -= 1
     return u
+
+
+def _pad_state_transparent(tensors, pad, delta_softplus, delta_bias):
+    """Right-pad scan operands so pad steps are the identity on the state.
+
+    Drive is zero (u = B = 0) and the decay is exp(0·A) = 1: the resolved
+    delta must be 0 at pad positions. The kernel resolves delta as
+    softplus(delta + bias) or (delta + bias), so the pad fill is -1e4
+    (softplus(-1e4 + bias) ≈ 0) or exactly -bias per channel. ``tensors[1]``
+    must be the raw delta.
+    """
+    out = []
+    for i, t in enumerate(tensors):
+        p = jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
+        if i == 1:  # delta
+            G, _, d = t.shape
+            if delta_softplus:
+                fill = jnp.full((G, pad, d), -1e4, t.dtype)
+            elif delta_bias is not None:
+                fill = jnp.broadcast_to(
+                    -jnp.asarray(delta_bias, t.dtype).reshape(1, 1, d),
+                    (G, pad, d))
+            else:
+                fill = jnp.zeros((G, pad, d), t.dtype)
+            p = jnp.concatenate([t, fill], axis=1)
+        out.append(p)
+    return out
 
 
 # Slab starts are dynamic sublane offsets into fp32 scratch: Mosaic needs
@@ -232,18 +265,11 @@ def selective_scan_pallas_fwd_impl(
 
     tensors = [u, delta, B_mat, C] + ([z] if has_z else [])
     if L % T != 0:
-        # state-transparent padding: drive is zero (u=0) and the decay is
-        # the identity (delta → softplus(-1e4 + bias) ≈ 0 ⇒ exp(0·A) = 1),
-        # so h_init flows unchanged through pad steps (reverse scans process
-        # them first) and the emitted final state equals the true one.
-        pad = T - L % T
-        dpad = -1e4 if delta_softplus else 0.0
-        out = []
-        for i, t in enumerate(tensors):
-            cval = dpad if i == 1 else 0.0
-            out.append(jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2),
-                               constant_values=cval))
-        tensors = out
+        # state-transparent padding: h_init flows unchanged through pad steps
+        # (reverse scans process them first) and the emitted final state
+        # equals the true one.
+        tensors = _pad_state_transparent(
+            tensors, T - L % T, delta_softplus, delta_bias)
     Lp = tensors[0].shape[1]
     nc = Lp // T
 
@@ -532,14 +558,8 @@ def selective_scan_pallas_bwd_impl(
     if L % T != 0:
         # state-transparent padding (see fwd impl): identity decay + zero
         # drive so the lam carry passes pad steps unchanged
-        pad = Lp - L
-        dpad = -1e4 if delta_softplus else 0.0
-        out = []
-        for i, t in enumerate(tensors):
-            cval = dpad if i == 1 else 0.0
-            out.append(jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2),
-                               constant_values=cval))
-        tensors = out
+        tensors = _pad_state_transparent(
+            tensors, Lp - L, delta_softplus, delta_bias)
     u_p, delta_p, B_p, C_p, gy_p = tensors
     ghN_in = (jnp.zeros((G, N, d), jnp.float32) if g_hN is None
               else jnp.asarray(g_hN, jnp.float32).reshape(G, N, d))
@@ -639,6 +659,13 @@ def selective_scan_pallas_bwd_impl(
         interpret=interpret,
     )(u_p, delta_p, B_p, C_p, A_T, D_in, bias_in, gy_p, carries, ghN_in)
     g_u, g_delta, g_B, g_C, g_A_T, g_D, g_bias, g_h0 = outs
+    g_bias = g_bias[0]
+    if Lp != L and not delta_softplus:
+        # Without the softplus chain, pad steps have identity decay but a
+        # nonzero delta-gradient (lam·A·h), which the in-kernel g_bias
+        # reduction would pick up; rebuild g_bias from the real positions
+        # (g_bias ≡ Σ_{G,L} g_delta since d(delta_eff)/d(bias) = 1).
+        g_bias = jnp.sum(g_delta[:, :L].astype(jnp.float32), axis=(0, 1))
     return (
         g_u[:, :L],
         g_delta[:, :L],
@@ -646,7 +673,7 @@ def selective_scan_pallas_bwd_impl(
         g_B[:, :L],
         g_C[:, :L],
         g_D[0],
-        g_bias[0],
+        g_bias,
         g_h0,
     )
 

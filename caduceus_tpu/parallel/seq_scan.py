@@ -56,6 +56,7 @@ def sequence_parallel_scan(
     mesh: Mesh,
     axis: str = "data",
     chunk_size: int = 256,
+    group_block: int = 8,  # pallas local scans: G-tile (see scan_pallas.py)
     local_impl: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
 ) -> jnp.ndarray:
     """Exact selective scan with the sequence axis sharded over `axis`.
@@ -99,7 +100,7 @@ def sequence_parallel_scan(
                     u_l, delta_l, A, B_l, C_l,
                     D if with_outputs else None, delta_bias,
                     jnp.swapaxes(h0, 1, 2),
-                    delta_softplus, reverse, 128, 8, interp,
+                    delta_softplus, reverse, chunk_size, group_block, interp,
                 )
                 return y, jnp.swapaxes(hN, 1, 2)
         else:

@@ -193,27 +193,47 @@ def prefetch_to_device(loader, mesh, size: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
     stop = object()
+    done = threading.Event()  # consumer gone — worker must release the loader
     err = []
+
+    def _put(item) -> bool:
+        """Blocking put that bails out once the consumer is gone."""
+        while not done.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in loader:
                 st = loader.state_dict() if hasattr(loader, "state_dict") else None
-                q.put((shard_batch(mesh, b), st))
+                if not _put((shard_batch(mesh, b), st)):
+                    return  # consumer closed mid-epoch: stop iterating loader
         except BaseException as e:  # noqa: BLE001 — reraised on the consumer
             err.append(e)
         finally:
-            q.put(stop)
+            _put(stop)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # Runs on generator .close() (and normal exit): without this, a
+        # consumer breaking early (fit() hitting max_steps mid-epoch) leaks
+        # a worker still iterating the shared sampler — a second fit() would
+        # then interleave index consumption with the zombie.
+        done.set()
+        t.join(timeout=5.0)
 
 
 @dataclass
@@ -356,40 +376,46 @@ class Trainer:
                         yield shard_batch(self.mesh, b), st
 
                 stream = _sync_stream()
-            for batch, loader_state in stream:
-                if self.cfg.profile_dir and step == 10:
-                    jax.profiler.start_trace(self.cfg.profile_dir)
-                self.state, m = self._train_step(self.state, batch)
-                self._consumed_loader_state = loader_state
-                last_m = m
-                step += 1
-                if self.cfg.profile_dir and step == 13:
-                    jax.block_until_ready(m["loss"])
-                    jax.profiler.stop_trace()
-                tokens_since_log += int(np.prod(batch["input_ids"].shape))
-                if step % self.cfg.log_every == 0:
-                    m = jax.device_get(m)
-                    self.ppl.update(m["loss_sum"], m["count"])
-                    self.num_tokens.update(m["count"])
-                    dt = time.time() - t0
-                    last_metrics = {
-                        "step": step,
-                        "loss": float(m["loss"]),
-                        "acc": float(m["acc"]),
-                        "ppl": self.ppl.compute(),
-                        "grad_norm": float(m["grad_norm"]),
-                        "lr": float(self.schedule(step)),
-                        "tokens_per_sec": tokens_since_log / dt,
-                    }
-                    self.log_fn(last_metrics)
-                    t0 = time.time()
-                    tokens_since_log = 0
-                if self.eval_loader is not None and step % self.cfg.eval_every == 0:
-                    last_metrics.update(self.evaluate())
-                if step % self.cfg.checkpoint_every == 0:
-                    self.save_checkpoint()
-                if step >= max_steps:
-                    break
+            # `for` does not close a generator on break — close explicitly so
+            # the prefetch worker (and its hold on the shared sampler) ends
+            # deterministically when max_steps lands mid-epoch.
+            try:
+                for batch, loader_state in stream:
+                    if self.cfg.profile_dir and step == 10:
+                        jax.profiler.start_trace(self.cfg.profile_dir)
+                    self.state, m = self._train_step(self.state, batch)
+                    self._consumed_loader_state = loader_state
+                    last_m = m
+                    step += 1
+                    if self.cfg.profile_dir and step == 13:
+                        jax.block_until_ready(m["loss"])
+                        jax.profiler.stop_trace()
+                    tokens_since_log += int(np.prod(batch["input_ids"].shape))
+                    if step % self.cfg.log_every == 0:
+                        m = jax.device_get(m)
+                        self.ppl.update(m["loss_sum"], m["count"])
+                        self.num_tokens.update(m["count"])
+                        dt = time.time() - t0
+                        last_metrics = {
+                            "step": step,
+                            "loss": float(m["loss"]),
+                            "acc": float(m["acc"]),
+                            "ppl": self.ppl.compute(),
+                            "grad_norm": float(m["grad_norm"]),
+                            "lr": float(self.schedule(step)),
+                            "tokens_per_sec": tokens_since_log / dt,
+                        }
+                        self.log_fn(last_metrics)
+                        t0 = time.time()
+                        tokens_since_log = 0
+                    if self.eval_loader is not None and step % self.cfg.eval_every == 0:
+                        last_metrics.update(self.evaluate())
+                    if step % self.cfg.checkpoint_every == 0:
+                        self.save_checkpoint()
+                    if step >= max_steps:
+                        break
+            finally:
+                stream.close()
         if not last_metrics and last_m is not None:
             m = jax.device_get(last_m)
             last_metrics = {

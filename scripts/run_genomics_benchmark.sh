@@ -9,7 +9,9 @@
 #     ./scripts/run_genomics_benchmark.sh [task ...]
 #
 # Caduceus-PS (rcps): no flags needed (equivariance is structural).
-# Caduceus-Ph (post-hoc conjoin): add CONJOIN_TEST=1.
+# Caduceus-Ph (post-hoc conjoin): add CONJOIN_TEST=1 — conjoining is the
+# non-rcps recipe (reference `modeling_caduceus.py:562-592`), so this also
+# passes --no-rcps; point PRETRAINED_RUN_DIR at a non-rcps pretrain.
 set -euo pipefail
 
 DATA_DIR="${DATA_DIR:?set DATA_DIR}"
@@ -28,7 +30,7 @@ fi
 
 EXTRA=()
 [ -n "${PRETRAINED_RUN_DIR}" ] && EXTRA+=(--pretrained-run-dir "${PRETRAINED_RUN_DIR}")
-[ "${CONJOIN_TEST:-0}" = "1" ] && EXTRA+=(--conjoin-test)
+[ "${CONJOIN_TEST:-0}" = "1" ] && EXTRA+=(--conjoin-test --no-rcps)
 [ "${RC_AUG:-0}" = "1" ] && EXTRA+=(--rc-aug)
 
 mkdir -p "${OUT_DIR}"

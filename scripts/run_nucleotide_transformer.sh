@@ -27,7 +27,7 @@ fi
 
 EXTRA=()
 [ -n "${PRETRAINED_RUN_DIR}" ] && EXTRA+=(--pretrained-run-dir "${PRETRAINED_RUN_DIR}")
-[ "${CONJOIN_TEST:-0}" = "1" ] && EXTRA+=(--conjoin-test)
+[ "${CONJOIN_TEST:-0}" = "1" ] && EXTRA+=(--conjoin-test --no-rcps)
 [ "${RC_AUG:-0}" = "1" ] && EXTRA+=(--rc-aug)
 
 mkdir -p "${OUT_DIR}"

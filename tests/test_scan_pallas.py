@@ -164,3 +164,56 @@ def test_chained_scan_reverse_with_padding():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(jnp.swapaxes(hN, 1, 2)),
                                np.asarray(hN_ref), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_chained_padding_no_softplus_bias(reverse):
+    """delta_softplus=False + nonzero delta_bias + ragged L: pad steps must
+    still be the state identity (pad delta = -bias, not 0), and g_bias /
+    g_h0 must not pick up spurious pad-step contributions when a final-state
+    cotangent flows back through the pads."""
+    from caduceus_tpu.ops.scan_pallas import selective_scan_pallas_chained
+    from caduceus_tpu.ops.selective_scan import selective_scan
+
+    G, L, d, N = 2, 44, 16, 4  # chunk 16 → 4 pad steps
+    ks = jax.random.split(jax.random.PRNGKey(7), 7)
+    u = jax.random.normal(ks[0], (G, L, d))
+    # keep resolved delta positive-ish so the no-softplus scan is stable
+    delta = jax.random.uniform(ks[1], (G, L, d), minval=0.05, maxval=0.6)
+    A = -jnp.exp(jax.random.normal(ks[2], (d, N)) * 0.5)
+    B = jax.random.normal(ks[3], (G, L, N))
+    C = jax.random.normal(ks[4], (G, L, N))
+    bias = jax.random.normal(ks[6], (d,)) * 0.2
+    h0 = jax.random.normal(ks[5], (G, N, d))
+
+    def out_pallas(args):
+        u, delta, A, B, C, bias, h0 = args
+        y, hN = selective_scan_pallas_chained(
+            u, delta, A, B, C, None, bias, h0, False, reverse, 16, 1, True)
+        return jnp.sum(jnp.square(y)) + jnp.sum(jnp.square(hN)), (y, hN)
+
+    def out_ref(args):
+        u, delta, A, B, C, bias, h0 = args
+        y, hN = selective_scan(
+            u, delta, A, B, C, delta_bias=bias, delta_softplus=False,
+            reverse=reverse, h_init=jnp.swapaxes(h0, 1, 2),
+            return_final_state=True)
+        return jnp.sum(jnp.square(y)) + jnp.sum(jnp.square(hN)), (y, hN)
+
+    args = (u, delta, A, B, C, bias, h0)
+    _, (y, hN) = out_pallas(args)
+    _, (y_r, hN_r) = out_ref(args)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(hN, 1, 2)),
+                               np.asarray(hN_r), atol=1e-4, rtol=1e-4)
+    g = jax.grad(lambda a: out_pallas(a)[0])(args)
+    g_r = jax.grad(lambda a: out_ref(a)[0])(args)
+    for n, a, b in zip("u delta A B C bias h0".split(), g, g_r):
+        b = np.asarray(b)
+        if n == "h0":
+            a = np.asarray(jnp.swapaxes(a, 1, 2)) if a.shape != b.shape else np.asarray(a)
+        s = float(np.abs(b).max()) + 1e-9
+        # bf16 kernel staging: slightly looser than the softplus-path test
+        np.testing.assert_allclose(np.asarray(a) / s, b / s,
+                                   atol=1e-2, err_msg=f"grad {n} ({reverse=})")

@@ -261,3 +261,56 @@ def test_cli_pretrain_model_selection(tmp_path):
               "--model", "mamba", "--ntp", "--run-dir", run2])
     art2 = _json.load(open(f"{run2}/model_config.json"))
     assert art2["rcps"] is False and art2["bidirectional"] is False
+
+
+def test_prefetch_stream_closes_worker_on_early_break():
+    """Breaking out of a prefetch stream must stop the worker thread and
+    release the loader, so a second stream sees a clean iterator (fit()
+    hitting max_steps mid-epoch, then being called again)."""
+    import threading
+    import time as _time
+
+    from caduceus_tpu.train.trainer import prefetch_to_device
+
+    mesh = make_mesh()
+
+    class CountingLoader:
+        def __init__(self):
+            self.served = 0
+            self.active_iters = 0
+
+        def __iter__(self):
+            self.active_iters += 1
+            try:
+                for i in range(1000):
+                    self.served += 1
+                    yield {"input_ids": np.full((8, 8), i % 7, np.int32)}
+            finally:
+                self.active_iters -= 1
+
+        def state_dict(self):
+            return {"served": self.served}
+
+    loader = CountingLoader()
+    before = threading.active_count()
+    stream = prefetch_to_device(loader, mesh, size=2)
+    for k, (batch, state) in enumerate(stream):
+        if k == 2:
+            break
+    stream.close()
+    # worker must exit promptly and stop consuming the loader
+    deadline = _time.time() + 5.0
+    while loader.active_iters and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert loader.active_iters == 0, "prefetch worker leaked past close()"
+    assert threading.active_count() <= before + 1
+    served_after_close = loader.served
+    _time.sleep(0.2)
+    assert loader.served == served_after_close, "worker kept draining loader"
+
+    # a fresh stream starts cleanly and yields valid batches + state
+    stream2 = prefetch_to_device(loader, mesh, size=2)
+    batch, state = next(iter(stream2))
+    assert state["served"] >= served_after_close + 1
+    stream2.close()
+    assert loader.active_iters == 0
