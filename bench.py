@@ -177,6 +177,13 @@ def main():
 
     n_chips = jax.device_count()
     tokens_per_sec_chip = steps * total_rows * seqlen / dt / n_chips
+    # The reference publishes no throughput numbers (BASELINE.md:3-6,
+    # BASELINE.json.published = {}), so vs_baseline is the ratio against this
+    # repo's round-1 recorded headline (BENCH_r01.json: 60,129.2 tok/s/chip at
+    # the same config) — only meaningful at the default headline config.
+    r1_headline = 60129.2
+    at_headline = (seqlen == 131072 and n_layer == 16
+                   and tokens_per_step == 1 << 20)
     result = {
         "metric": "tokens_per_sec_per_chip_mlm_pretrain",
         "value": round(tokens_per_sec_chip, 1),
@@ -184,7 +191,8 @@ def main():
             f"tokens/s/chip (seqlen={seqlen}, d_model=256, n_layer={n_layer}, "
             f"rcps, micro_batch={micro_batch}, accum={accum}, kernel={kernel})"
         ),
-        "vs_baseline": None,
+        "vs_baseline": (round(tokens_per_sec_chip / r1_headline, 3)
+                        if at_headline else None),
     }
     print(json.dumps(result))
 

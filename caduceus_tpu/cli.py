@@ -71,6 +71,7 @@ def _load_preset(argv):
         tree = yaml.safe_load(f) or {}
     flat = {}
     mapping = {
+        ("model", "name"): "model",
         ("model", "d_model"): "d_model",
         ("model", "n_layer"): "n_layer",
         ("model", "dtype"): "dtype",
@@ -82,6 +83,10 @@ def _load_preset(argv):
         ("train", "lr"): "lr",
         ("train", "weight_decay"): "weight_decay",
         ("train", "seed"): "seed",
+        ("train", "betas"): "betas",
+        ("train", "warmup_frac"): "warmup_frac",
+        ("train", "lr_min"): "lr_min",
+        ("train", "gradient_clip"): "gradient_clip",
     }
     for (sec, key), dest in mapping.items():
         if sec in tree and key in (tree[sec] or {}):
@@ -110,6 +115,10 @@ def cmd_pretrain(argv):
     p.add_argument("--max-steps", type=int, default=10000)
     p.add_argument("--lr", type=float, default=8e-3)
     p.add_argument("--weight-decay", type=float, default=0.1)
+    p.add_argument("--betas", type=float, nargs=2, default=[0.9, 0.95])
+    p.add_argument("--warmup-frac", type=float, default=0.1)
+    p.add_argument("--lr-min", type=float, default=1e-4)
+    p.add_argument("--gradient-clip", type=float, default=1.0)
     p.add_argument("--mlm-probability", type=float, default=0.15)
     p.add_argument("--ntp", action="store_true", help="next-token objective instead of MLM")
     p.add_argument("--rc-aug", action="store_true")
@@ -169,8 +178,10 @@ def cmd_pretrain(argv):
                   vocab_size=dm.tokenizer.vocab_size, l_max=args.max_length,
                   dtype=args.dtype)
         with open(os.path.join(args.run_dir, "model_config.json"), "w") as f:
-            _json.dump({"model_type": "hyena", "objective": "ntp", **hy},
-                       f, indent=2)
+            # "lr" recorded so eval/continued-training rebuilds the filter
+            # lr-override factors against the run's actual base lr
+            _json.dump({"model_type": "hyena", "objective": "ntp",
+                        "lr": args.lr, **hy}, f, indent=2)
         model = HyenaLMHeadModel(**hy)
         # `configs/model/hyena.yaml:22-24`: filter MLP at base lr / wd 0,
         # pos-emb z frozen; embed/resid dropout on
@@ -195,6 +206,10 @@ def cmd_pretrain(argv):
         seed=args.seed,
         lr=args.lr,
         weight_decay=args.weight_decay,
+        betas=tuple(args.betas),
+        warmup_frac=args.warmup_frac,
+        lr_min=args.lr_min,
+        gradient_clip=args.gradient_clip,
         accum_steps=args.accum_steps,
         ema_decay=args.ema_decay,
         dropout=dropout,
@@ -254,12 +269,13 @@ def cmd_eval(argv):
 
         model = HyenaLMHeadModel(
             **{k: v for k, v in raw.items()
-               if k not in ("model_type", "objective")}
+               if k not in ("model_type", "objective", "lr")}
         )
         mlm = False
-        # same optimizer transform chain as pretrain, so the checkpointed
-        # opt-state pytree matches the restore template
-        lr_overrides = hyena_lr_overrides(TrainerConfig.lr)
+        # same optimizer transform chain as pretrain (checkpointed opt-state
+        # pytree must match the restore template), rebuilt against the run's
+        # recorded base lr so the factor values are right too
+        lr_overrides = hyena_lr_overrides(raw.get("lr", TrainerConfig.lr))
     else:
         cfg = CaduceusConfig.load(cfg_path)
         model = CaduceusForMaskedLM(cfg)

@@ -61,16 +61,16 @@ NT_TASK_METRICS = {
 }  # histone tasks default to mcc
 
 
-def load_tsv(path: str) -> Tuple[List[str], np.ndarray]:
-    """Load `sequence<TAB>label` records."""
+def load_tsv(path: str, regression: bool = False) -> Tuple[List[str], np.ndarray]:
+    """Load `sequence<TAB>label` records (float targets when regression)."""
     seqs, labels = [], []
     with open(path) as f:
         for rec in csv.reader(f, delimiter="\t"):
             if not rec or rec[0].startswith("#"):
                 continue
             seqs.append(rec[0])
-            labels.append(int(rec[1]))
-    return seqs, np.asarray(labels, np.int32)
+            labels.append(float(rec[1]) if regression else int(rec[1]))
+    return seqs, np.asarray(labels, np.float32 if regression else np.int32)
 
 
 def train_val_split(n: int, val_frac: float, seed: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -98,7 +98,9 @@ class SeqClassificationDataset:
         seed: int = 0,
     ):
         self.sequences = list(sequences)
-        self.labels = np.asarray(labels, np.int32)
+        # dtype preserved: int32 class ids or float32 regression targets
+        labels = np.asarray(labels)
+        self.labels = labels if labels.dtype == np.float32 else labels.astype(np.int32)
         assert len(self.sequences) == len(self.labels)
         self.max_length = max_length
         self.tokenizer = tokenizer or CharacterTokenizer(model_max_length=max_length)
@@ -160,11 +162,13 @@ class ClassificationDataModule:
         val_frac: float = 0.1,
         train_val_split_seed: int = 0,
         seed: int = 0,
+        regression: bool = False,
     ):
         self.batch_size = batch_size
+        self.regression = regression
         train_path = os.path.join(data_dir, task, "train.tsv")
         test_path = os.path.join(data_dir, task, "test.tsv")
-        seqs, labels = load_tsv(train_path)
+        seqs, labels = load_tsv(train_path, regression=regression)
         tr_idx, va_idx = train_val_split(len(seqs), val_frac, train_val_split_seed)
         common = dict(
             max_length=max_length,
@@ -181,14 +185,16 @@ class ClassificationDataModule:
             [seqs[i] for i in va_idx], labels[va_idx], split="val", **common
         )
         if os.path.exists(test_path):
-            tseqs, tlabels = load_tsv(test_path)
+            tseqs, tlabels = load_tsv(test_path, regression=regression)
             self.test_ds = SeqClassificationDataset(
                 tseqs, tlabels, split="test", **common
             )
         else:
             self.test_ds = self.val_ds
         self.tokenizer = self.train_ds.tokenizer
-        self.num_classes = int(labels.max()) + 1
+        # regression heads emit one scalar (reference
+        # `configs/task/regression.yaml`: d_output 1)
+        self.num_classes = 1 if regression else int(labels.max()) + 1
 
     def batches(self, split: str = "train", epoch: int = 0, shuffle: Optional[bool] = None,
                 seed: int = 0, drop_last: Optional[bool] = None) -> Iterator[Dict[str, np.ndarray]]:
@@ -203,7 +209,8 @@ class ClassificationDataModule:
             xs, ys = zip(*(ds.get(int(i), epoch) for i in chunk))
             yield {
                 "input_ids": np.stack(xs),
-                "labels": np.asarray(ys, np.int32),
+                "labels": np.asarray(
+                    ys, np.float32 if self.regression else np.int32),
                 "lengths": np.asarray(
                     [ds.seq_length(int(i)) for i in chunk], np.int32
                 ),

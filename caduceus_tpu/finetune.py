@@ -170,7 +170,8 @@ def finetune_one(
             logits, new_extra = model.apply(p, ids, lengths, True), extra
         # problem-type dispatch (`modeling_caduceus.py:612-631`)
         if problem_type == "regression":
-            loss = jnp.mean(jnp.square(jnp.squeeze(logits) - jnp.squeeze(labels)))
+            # head emits (B, 1) (num_labels == 1); labels are float (B,)
+            loss = jnp.mean(jnp.square(logits[..., 0] - labels))
         elif problem_type == "multi_label_classification":
             loss = optax.sigmoid_binary_cross_entropy(logits, labels).mean()
         else:
@@ -212,7 +213,7 @@ def finetune_one(
         labels = np.concatenate(labels)
         if problem_type == "regression":
             # regression evaluates with MSE/MAE, not argmax accuracy
-            pred = np.squeeze(scores, axis=-1) if scores.ndim > 1 else scores
+            pred = scores[..., 0] if scores.ndim > 1 else scores
             err = pred - labels
             return {"mse": float(np.mean(err**2)),
                     "mae": float(np.mean(np.abs(err)))}
@@ -335,16 +336,23 @@ def main(argv=None):
             complement_map=tok.complement_map,
         )
 
-    if (args.conjoin_train or args.conjoin_test) and cfg.rcps and \
-            args.model != "cnn":
-        # Reference semantics (`modeling_caduceus.py:562-592`): rcps and
-        # conjoin are mutually exclusive backbone modes — conjoining is the
-        # post-hoc (Caduceus-Ph) recipe for NON-rcps models. Fail here with
-        # a clear message instead of a shape error after a wasted epoch.
-        p.error("--conjoin-train/--conjoin-test require a non-rcps model "
-                "(pass --no-rcps, or point at a non-rcps pretrained config); "
-                "an RCPS backbone is already RC-equivariant and takes plain "
-                "(B, L) inputs")
+    if args.conjoin_train or args.conjoin_test:
+        if args.model == "cnn":
+            # the CNN baseline takes plain (B, L) ids only — fail fast
+            # instead of crashing at the first conjoined eval batch after a
+            # wasted training epoch
+            p.error("--conjoin-train/--conjoin-test are not supported by "
+                    "--model cnn (it takes plain (B, L) ids)")
+        if cfg.rcps:
+            # Reference semantics (`modeling_caduceus.py:562-592`): rcps and
+            # conjoin are mutually exclusive backbone modes — conjoining is
+            # the post-hoc (Caduceus-Ph) recipe for NON-rcps models. Fail
+            # here with a clear message instead of a shape error after a
+            # wasted epoch.
+            p.error("--conjoin-train/--conjoin-test require a non-rcps model "
+                    "(pass --no-rcps, or point at a non-rcps pretrained "
+                    "config); an RCPS backbone is already RC-equivariant and "
+                    "takes plain (B, L) inputs")
 
     pretrained_params = None
     if args.model == "cnn":
@@ -378,6 +386,7 @@ def main(argv=None):
             batch_size=args.batch_size, rc_aug=args.rc_aug,
             conjoin_train=args.conjoin_train, conjoin_test=args.conjoin_test,
             train_val_split_seed=seed, seed=seed,
+            regression=(args.problem_type == "regression"),
         )
         r = finetune_one(
             cfg, dm, dm.num_classes, pretrained_params=pretrained_params,

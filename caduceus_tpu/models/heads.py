@@ -82,8 +82,13 @@ class SequenceDecoder(nn.Module):
         if x.ndim == 4:  # (B, L, d, 2) conjoined strands
             pooled_f = restrict_sequence(x[..., 0], self.mode, lengths,
                                          self.padding_side)
+            # the rc channel is complement(ids[::-1]) (classification.py:129)
+            # — a full-array reversal, so its padding sits on the OPPOSITE
+            # side; pooling it with the forward side would average pad
+            # embeddings (and 'last' would select a pad position)
+            rc_side = "right" if self.padding_side == "left" else "left"
             pooled_r = restrict_sequence(x[..., 1], self.mode, lengths,
-                                         self.padding_side)
+                                         rc_side)
             return (head(pooled_f) + head(pooled_r)) / 2
         pooled = restrict_sequence(x, self.mode, lengths, self.padding_side)
         return head(pooled)

@@ -87,7 +87,6 @@ def _pad_state_transparent(tensors, pad, delta_softplus, delta_bias):
     """
     out = []
     for i, t in enumerate(tensors):
-        p = jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
         if i == 1:  # delta
             G, _, d = t.shape
             if delta_softplus:
@@ -99,6 +98,8 @@ def _pad_state_transparent(tensors, pad, delta_softplus, delta_bias):
             else:
                 fill = jnp.zeros((G, pad, d), t.dtype)
             p = jnp.concatenate([t, fill], axis=1)
+        else:
+            p = jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2))
         out.append(p)
     return out
 

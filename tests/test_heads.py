@@ -145,3 +145,59 @@ def test_encoder_registry():
     import pytest as _pytest
     with _pytest.raises(KeyError):
         get_encoder("nope")
+
+
+def test_conjoin_lengths_rc_padding_side():
+    """The rc channel of a conjoined pair is complement(ids[::-1])
+    (classification.py:129), so with a left-padded forward strand its pads
+    sit on the RIGHT; length-masked pooling must flip the side per channel
+    or it averages pad embeddings."""
+    B, L, d = 2, 6, 3
+    rng = np.random.default_rng(0)
+    lengths = jnp.array([4, 6])
+    h_f = jnp.asarray(rng.normal(size=(B, L, d)), jnp.float32)
+    # rc channel = forward reversed along L (as the backbone sees the
+    # reversed sequence); pads move from the left to the right
+    h_r = h_f[:, ::-1]
+    x = jnp.stack([h_f, h_r], axis=-1)
+
+    dec = SequenceDecoder(d_output=2, mode="pool", use_lengths=True,
+                          padding_side="left")
+    params = dec.init(jax.random.PRNGKey(1), x, lengths)
+    out = dec.apply(params, x, lengths)
+
+    # ground truth: valid region of the left-padded fwd strand is the last
+    # `len` positions; of the rc strand the first `len` positions
+    pooled_f = jnp.stack([h_f[b, L - int(lengths[b]):].mean(0) for b in range(B)])
+    pooled_r = jnp.stack([h_r[b, : int(lengths[b])].mean(0) for b in range(B)])
+    head = lambda v: dec.apply(params, v[:, None, :].repeat(2, 1), None)
+    expect = (head(pooled_f) + head(pooled_r)) / 2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-5)
+    # strand symmetry: pooling must make the conjoined pair order-robust —
+    # both channels pool the same set of token embeddings here
+    np.testing.assert_allclose(np.asarray(pooled_f), np.asarray(pooled_r),
+                               rtol=1e-5)
+
+
+def test_finetune_regression_main_float_labels(tmp_path):
+    """End-to-end regression through finetune.main: float TSV targets,
+    num_labels=1 head, MSE/MAE eval (r2 review finding)."""
+    import os
+
+    from caduceus_tpu.finetune import main as ft_main
+
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "reg", exist_ok=True)
+    alphabet = np.array(list("ACGT"))
+    for split, n in (("train", 48), ("test", 16)):
+        with open(tmp_path / "reg" / f"{split}.tsv", "w") as f:
+            for _ in range(n):
+                seq = "".join(alphabet[rng.integers(0, 4, 24)])
+                # target = GC content, a real regression signal
+                y = (seq.count("G") + seq.count("C")) / len(seq)
+                f.write(f"{seq}\t{y:.4f}\n")
+    s = ft_main(["--data-dir", str(tmp_path), "--task", "reg",
+                 "--max-length", "24", "--batch-size", "8", "--epochs", "1",
+                 "--d-model", "16", "--n-layer", "1",
+                 "--problem-type", "regression", "--seeds", "0"])
+    assert np.isfinite(s["mean_test_mse"])

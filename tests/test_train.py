@@ -314,3 +314,28 @@ def test_prefetch_stream_closes_worker_on_early_break():
     assert state["served"] >= served_after_close + 1
     stream2.close()
     assert loader.active_iters == 0
+
+
+def test_cli_pretrain_preset_model_family(tmp_path):
+    """Pretrain presets select the model family + objective
+    (configs/hg38_mamba_ntp.yaml: model.name -> --model, data.mlm:false ->
+    NTP), with explicit CLI flags still overriding preset scale."""
+    import json as _json
+    import os as _os
+
+    from caduceus_tpu.cli import main as cli_main
+    from caduceus_tpu.data.synthetic import make_synthetic_genome
+
+    fasta, bed = make_synthetic_genome(str(tmp_path), n_chromosomes=1,
+                                       chrom_len=1 << 11, window=1 << 9)
+    run = str(tmp_path / "preset_mamba")
+    preset = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "configs", "hg38_mamba_ntp.yaml")
+    cli_main(["pretrain", "--preset", preset, "--fasta", fasta, "--bed", bed,
+              "--max-length", "64", "--batch-size", "8", "--max-steps", "2",
+              "--d-model", "16", "--n-layer", "2", "--dtype", "float32",
+              "--run-dir", run])
+    art = _json.load(open(f"{run}/model_config.json"))
+    assert art["rcps"] is False and art["bidirectional"] is False
+    assert art["objective"] == "ntp"
+    assert art["d_model"] == 16  # CLI override beats preset
