@@ -57,7 +57,17 @@ class CaduceusConfig:
     ssm_cfg: SSMConfig = field(default_factory=SSMConfig)
     rms_norm: bool = True
     residual_in_fp32: bool = True
-    fused_add_norm: bool = True  # accepted for parity; XLA fuses add+norm natively
+    # For non-RCPS models this is a pure fusion detail (XLA fuses add+norm
+    # natively; both reference paths compute the same function). For RCPS it
+    # selects the BLOCK FRAME: the reference's fused path
+    # (`modeling_rcps.py:165-200`) normalizes the SECOND channel half
+    # unflipped and the flipped FIRST half — swapping the halves at every
+    # block relative to its own non-fused RCPSAddNormWrapper. The two frames
+    # are different functions of the same weights (both RC-equivariant);
+    # released checkpoints are trained with fused_add_norm=true, so True is
+    # the checkpoint-parity default. Verified against the reference's own
+    # torch code in tests/test_reference_torch_parity.py.
+    fused_add_norm: bool = True
     pad_vocab_size_multiple: int = 8
     norm_epsilon: float = 1e-5
 

@@ -38,7 +38,16 @@ def import_reference_state_dict(state: Dict[str, np.ndarray], cfg) -> Dict:
     `cfg.bidirectional_weight_tie` (the reference shares the tensors, so the
     rev entries either alias or are absent).
     """
-    g = lambda k: np.asarray(state[k])
+    def g(k):
+        # rcps + fused_add_norm=False wraps norms in RCPSAddNormWrapper,
+        # nesting their params under `.submodule` (`modeling_rcps.py:100-104`,
+        # `modeling_caduceus.py:214`); accept both namings
+        if k not in state and k.endswith(".weight"):
+            alt = k[: -len(".weight")] + ".submodule.weight"
+            if alt in state:
+                k = alt
+        return np.asarray(state[k])
+
     rcps = cfg.rcps
     params: Dict[str, Any] = {}
     backbone: Dict[str, Any] = {}

@@ -65,6 +65,24 @@ class CaduceusBlock(nn.Module):
             if c.rms_norm
             else self.param("norm_b", nn.initializers.zeros, (c.d_model,), jnp.float32)
         )
+        if c.rcps and c.fused_add_norm:
+            # Reference FUSED RCPS block frame (`modeling_rcps.py:165-200`):
+            # the fused path feeds the SECOND channel half unflipped and the
+            # flipped FIRST half to the shared add+norm — i.e. it swaps the
+            # halves at every block relative to the non-fused
+            # RCPSAddNormWrapper. The two frames are different functions of
+            # the same weights (both RC-equivariant); released checkpoints
+            # are trained fused, so this is the checkpoint-parity default
+            # (tests/test_reference_torch_parity.py runs the reference's own
+            # torch code to pin both frames down). In canonical-strand
+            # coordinates the swap is: exchange strand rows, reverse (L, d).
+            def swap_rc(t):
+                half = t.shape[0] // 2
+                t = jnp.concatenate([t[half:], t[:half]], axis=0)
+                return jnp.flip(t, axis=(-2, -1))
+
+            x = swap_rc(x)
+            residual = None if residual is None else swap_rc(residual)
         normed, residual = add_norm(
             x,
             weight,

@@ -36,6 +36,10 @@ def _cfg(rcps=True, tie=True):
         rcps=rcps, bidirectional=True, bidirectional_weight_tie=tie,
         complement_map=tok.complement_map,
         rms_norm=True, residual_in_fp32=True,
+        # this file's numpy executor implements the reference's NON-fused
+        # block frame (RCPSAddNormWrapper); the fused frame is covered by
+        # tests/test_reference_torch_parity.py against the real torch code
+        fused_add_norm=False,
         dtype="float32", param_dtype="float32",
     )
 
