@@ -45,13 +45,13 @@ def ref_caduceus():
         sys.path.remove(REF)
 
 
-def _our_cfg(rcps: bool, fused: bool = True):
+def _our_cfg(rcps: bool, fused: bool = True, n_layer: int = 2):
     from caduceus_tpu.config import CaduceusConfig, SSMConfig
     from caduceus_tpu.tokenization import CaduceusTokenizer
 
     tok = CaduceusTokenizer()
     return tok, CaduceusConfig(
-        d_model=16, n_layer=2, vocab_size=tok.vocab_size,
+        d_model=16, n_layer=n_layer, vocab_size=tok.vocab_size,
         ssm_cfg=SSMConfig(d_state=4, use_kernel="xla"),
         rcps=rcps, bidirectional=True, bidirectional_weight_tie=True,
         complement_map=tok.complement_map,
@@ -60,10 +60,11 @@ def _our_cfg(rcps: bool, fused: bool = True):
     )
 
 
-def _build_reference_model(mc, cc, tok, rcps: bool, fused: bool, seed: int):
+def _build_reference_model(mc, cc, tok, rcps: bool, fused: bool, seed: int,
+                           n_layer: int = 2):
     torch.manual_seed(seed)
     ref_cfg = cc.CaduceusConfig(
-        d_model=16, n_layer=2, vocab_size=tok.vocab_size,
+        d_model=16, n_layer=n_layer, vocab_size=tok.vocab_size,
         ssm_cfg={"d_state": 4, "d_conv": 4, "expand": 2, "dt_rank": "auto"},
         rms_norm=True, residual_in_fp32=True, fused_add_norm=fused,
         pad_vocab_size_multiple=8,
@@ -76,15 +77,21 @@ def _build_reference_model(mc, cc, tok, rcps: bool, fused: bool, seed: int):
     return model
 
 
-@pytest.mark.parametrize("rcps,fused", [(True, True), (True, False),
-                                        (False, True)])
-def test_logits_match_reference_torch_model(ref_caduceus, rcps, fused):
+# n_layer 3 included: the fused frame's per-block half-swap makes layer
+# parity (odd vs even) semantically meaningful
+@pytest.mark.parametrize("rcps,fused,n_layer", [(True, True, 2),
+                                                (True, True, 3),
+                                                (True, False, 2),
+                                                (False, True, 2)])
+def test_logits_match_reference_torch_model(ref_caduceus, rcps, fused,
+                                            n_layer):
     mc, cc = ref_caduceus
     from caduceus_tpu.convert import import_reference_state_dict
     from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
 
-    tok, cfg = _our_cfg(rcps, fused)
-    ref_model = _build_reference_model(mc, cc, tok, rcps, fused, seed=0)
+    tok, cfg = _our_cfg(rcps, fused, n_layer)
+    ref_model = _build_reference_model(mc, cc, tok, rcps, fused, seed=0,
+                                       n_layer=n_layer)
     # reference mutates its config in place: padded vocab must agree
     assert ref_model.config.vocab_size == cfg.padded_vocab_size
 
