@@ -152,6 +152,49 @@ def export_reference_state_dict(variables: Dict, cfg) -> Dict[str, np.ndarray]:
     return out
 
 
+def import_reference_hyena_operator(
+    state: Dict[str, np.ndarray], prefix: str = "", num_inner_mlps: int = 2
+) -> Dict[str, Any]:
+    """Reference `HyenaOperator` state dict → this framework's param subtree.
+
+    Naming source: `src/models/sequence/hyena.py` (`in_proj`/`out_proj`
+    Linears, depthwise `short_filter` Conv1d, `filter_fn` = HyenaFilter with
+    `pos_emb.z`, shared `Sin` freq, `implicit_filter.{0,2,4,...}` Linears and
+    `modulation.deltas`). Validated against the reference code executed on
+    CPU in tests/test_reference_torch_parity.py.
+    """
+    p = (prefix + ".") if prefix and not prefix.endswith(".") else prefix
+    g = lambda k: np.asarray(state[p + k])
+    filt: Dict[str, Any] = {
+        "pos_emb_z": g("filter_fn.pos_emb.z")[0],          # (1,L,e) -> (L,e)
+        "sin_freq": g("filter_fn.implicit_filter.1.freq")[0],
+        "bias": g("filter_fn.bias"),
+        "deltas": g("filter_fn.modulation.deltas")[0],     # (1,1,d) -> (1,d)
+        "mlp_in": {
+            "kernel": g("filter_fn.implicit_filter.0.weight").T,
+            "bias": g("filter_fn.implicit_filter.0.bias"),
+        },
+        "mlp_out": {
+            "kernel": g(
+                f"filter_fn.implicit_filter.{2 * (num_inner_mlps + 1)}.weight"
+            ).T
+        },
+    }
+    for i in range(num_inner_mlps):
+        filt[f"mlp_{i}"] = {
+            "kernel": g(f"filter_fn.implicit_filter.{2 * (i + 1)}.weight").T,
+            "bias": g(f"filter_fn.implicit_filter.{2 * (i + 1)}.bias"),
+        }
+    return {
+        "in_proj": {"kernel": g("in_proj.weight").T, "bias": g("in_proj.bias")},
+        "out_proj": {"kernel": g("out_proj.weight").T,
+                     "bias": g("out_proj.bias")},
+        "short_filter_w": g("short_filter.weight")[:, 0, :].T,  # (C,1,K)->(K,C)
+        "short_filter_b": g("short_filter.bias"),
+        "filter_fn": filt,
+    }
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a torch .bin / .pt state dict into numpy (CPU torch)."""
     import torch

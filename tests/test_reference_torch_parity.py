@@ -164,3 +164,41 @@ def test_export_roundtrip_through_reference_model(ref_caduceus):
         want = ref_model(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
     scale = np.abs(want).max() + 1e-9
     np.testing.assert_allclose(got / scale, want / scale, atol=5e-5)
+
+
+def test_hyena_operator_matches_reference(ref_caduceus):
+    """The reference's real HyenaOperator (src/models/sequence/hyena.py),
+    executed on CPU via the torch_shim (hydra/omegaconf/pl stand-ins), vs
+    our flax HyenaOperator with weights through
+    `convert.import_reference_hyena_operator`."""
+    del ref_caduceus  # fixture only ensures sys.path setup/teardown order
+    sys.path.insert(0, SHIM)
+    sys.path.insert(0, REF)
+    try:
+        import src.models.sequence.hyena as H
+
+        import jax.numpy as jnp
+
+        from caduceus_tpu.convert import import_reference_hyena_operator
+        from caduceus_tpu.models.hyena import HyenaOperator
+
+        torch.manual_seed(0)
+        d, lmax, forder = 16, 64, 8
+        ref_op = H.HyenaOperator(d_model=d, l_max=lmax, order=2,
+                                 filter_order=forder, emb_dim=3, w=1)
+        ref_op.eval()
+        x = np.random.default_rng(0).standard_normal((2, 48, d)).astype(np.float32)
+        with torch.no_grad():
+            want = ref_op(torch.from_numpy(x)).numpy()
+
+        state = {k: v.detach().numpy() for k, v in ref_op.state_dict().items()}
+        params = {"params": import_reference_hyena_operator(state)}
+        ours = HyenaOperator(d_model=d, l_max=lmax, filter_order=forder,
+                             filter_w=1.0)
+        got = np.asarray(ours.apply(params, jnp.asarray(x)))
+
+        scale = np.abs(want).max() + 1e-9
+        np.testing.assert_allclose(got / scale, want / scale, atol=5e-5)
+    finally:
+        sys.path.remove(SHIM)
+        sys.path.remove(REF)
