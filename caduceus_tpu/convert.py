@@ -195,6 +195,40 @@ def import_reference_hyena_operator(
     }
 
 
+def import_reference_hyena_lm(
+    state: Dict[str, np.ndarray], n_layer: int, attn_layer_idx=(),
+    num_inner_mlps: int = 2,
+) -> Dict:
+    """Reference `ConvLMHeadModel` state dict → `HyenaLMHeadModel` params.
+
+    Naming source: `src/models/sequence/long_conv_lm.py` (GPT2Embeddings,
+    flash-attn Block norm1/norm2/mixer/mlp, tied lm_head). Validated against
+    the reference code executed on CPU (tests/test_reference_torch_parity.py
+    via the flash_attn stand-in in tests/torch_shim/).
+    """
+    g = lambda k: np.asarray(state[k])
+    ln = lambda p: {"scale": g(f"{p}.weight"), "bias": g(f"{p}.bias")}
+    dense = lambda p: {"kernel": g(f"{p}.weight").T, "bias": g(f"{p}.bias")}
+    bb: Dict = {"embedding": g("backbone.embeddings.word_embeddings.weight")}
+    if "backbone.embeddings.position_embeddings.weight" in state:
+        bb["pos_embedding"] = g("backbone.embeddings.position_embeddings.weight")
+    for i in range(n_layer):
+        p = f"backbone.layers.{i}"
+        bb[f"ln1_{i}"] = ln(f"{p}.norm1")
+        bb[f"ln2_{i}"] = ln(f"{p}.norm2")
+        if i in attn_layer_idx:
+            bb[f"mixer_{i}"] = {"Wqkv": dense(f"{p}.mixer.Wqkv"),
+                                "out_proj": dense(f"{p}.mixer.out_proj")}
+        else:
+            bb[f"mixer_{i}"] = import_reference_hyena_operator(
+                state, prefix=f"{p}.mixer", num_inner_mlps=num_inner_mlps
+            )
+        bb[f"mlp_{i}"] = {"fc1": dense(f"{p}.mlp.fc1"),
+                          "fc2": dense(f"{p}.mlp.fc2")}
+    bb["ln_f"] = ln("backbone.ln_f")
+    return {"params": {"backbone": bb}}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a torch .bin / .pt state dict into numpy (CPU torch)."""
     import torch

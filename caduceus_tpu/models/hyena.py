@@ -294,6 +294,7 @@ class HyenaLMHeadModel(nn.Module):
     vocab_size: int
     l_max: int
     attn_layer_idx: Sequence[int] = ()
+    num_heads: int = 8  # MHA heads on hybrid attention layers
     hyena_kwargs: Optional[dict] = None
     embed_dropout: float = 0.1
     resid_dropout: float = 0.0
@@ -303,7 +304,8 @@ class HyenaLMHeadModel(nn.Module):
     def __call__(self, input_ids: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h, embed = HyenaLMBackbone(
             self.d_model, self.n_layer, self.vocab_size, self.l_max,
-            attn_layer_idx=self.attn_layer_idx, hyena_kwargs=self.hyena_kwargs,
+            attn_layer_idx=self.attn_layer_idx, num_heads=self.num_heads,
+            hyena_kwargs=self.hyena_kwargs,
             embed_dropout=self.embed_dropout, resid_dropout=self.resid_dropout,
             dtype=self.dtype, name="backbone",
         )(input_ids, train=train)

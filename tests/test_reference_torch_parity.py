@@ -202,3 +202,54 @@ def test_hyena_operator_matches_reference(ref_caduceus):
     finally:
         sys.path.remove(SHIM)
         sys.path.remove(REF)
+
+
+def test_hyena_lm_matches_reference(ref_caduceus):
+    """The reference's real ConvLMHeadModel (long_conv_lm.py) — hyena layer 0
+    + MHA hybrid layer 1, GPT2 embeddings, tied head — executed on CPU via
+    the flash_attn stand-in, vs our HyenaLMHeadModel with weights through
+    `convert.import_reference_hyena_lm`."""
+    del ref_caduceus
+    sys.path.insert(0, SHIM)
+    sys.path.insert(0, REF)
+    try:
+        from src.models.sequence.long_conv_lm import ConvLMHeadModel
+
+        import jax.numpy as jnp
+
+        from caduceus_tpu.convert import import_reference_hyena_lm
+        from caduceus_tpu.models.hyena import HyenaLMHeadModel
+
+        torch.manual_seed(0)
+        d, lmax, V = 16, 64, 12
+        ref = ConvLMHeadModel(
+            d_model=d, n_layer=2, d_inner=4 * d, vocab_size=V,
+            layer={"_name_": "hyena", "emb_dim": 3, "filter_order": 8,
+                   "short_filter_order": 3, "l_max": lmax, "modulate": True,
+                   "w": 1},
+            attn_layer_idx=[1], attn_cfg={"num_heads": 2},
+            max_position_embeddings=0, embed_dropout=0.1, resid_dropout=0.0,
+            residual_in_fp32=False, pad_vocab_size_multiple=1,
+        )
+        ref.eval()
+        ids = np.random.default_rng(3).integers(0, V, (2, 48))
+        with torch.no_grad():
+            out, _ = ref(torch.from_numpy(ids))
+        want = out.logits.numpy()
+
+        state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = import_reference_hyena_lm(state, n_layer=2,
+                                           attn_layer_idx=(1,))
+        ours = HyenaLMHeadModel(
+            d_model=d, n_layer=2, vocab_size=V, l_max=lmax,
+            attn_layer_idx=(1,), num_heads=2,
+            hyena_kwargs={"filter_order": 8, "filter_w": 1.0},
+        )
+        got = np.asarray(ours.apply(params, jnp.asarray(ids, jnp.int32)))
+
+        assert got.shape == want.shape
+        scale = np.abs(want).max() + 1e-9
+        np.testing.assert_allclose(got / scale, want / scale, atol=5e-5)
+    finally:
+        sys.path.remove(SHIM)
+        sys.path.remove(REF)
