@@ -152,6 +152,38 @@ def export_reference_state_dict(variables: Dict, cfg) -> Dict[str, np.ndarray]:
     return out
 
 
+def import_reference_mamba_backbone(
+    state: Dict[str, np.ndarray], n_layer: int, prefix: str = "backbone"
+) -> Dict:
+    """mamba-ssm `MixerModel` state dict (the reference's
+    `DNAEmbeddingModelMamba.backbone`, `dna_embedding.py:99-153`) → this
+    framework's non-rcps unidirectional `CaduceusBackbone` params."""
+    g = lambda k: np.asarray(state[f"{prefix}.{k}"])
+    bb: Dict[str, Any] = {"embedding": g("embedding.weight")}
+    for i in range(n_layer):
+        p = f"layers.{i}.mixer"
+        bb[f"layers_{i}"] = {
+            "norm_w": g(f"layers.{i}.norm.weight"),
+            # unidirectional BiMamba scopes its single MambaMixer under
+            # "mamba_fwd" (models/mamba.py:383-384)
+            "mixer": {"mamba_fwd": {
+                "in_proj": {"kernel": g(f"{p}.in_proj.weight").T},
+                "out_proj": {"kernel": g(f"{p}.out_proj.weight").T},
+                "fwd": {
+                    "conv_w": g(f"{p}.conv1d.weight")[:, 0, :].T,
+                    "conv_b": g(f"{p}.conv1d.bias"),
+                    "x_proj_w": g(f"{p}.x_proj.weight").T,
+                    "dt_proj_w": g(f"{p}.dt_proj.weight").T,
+                    "dt_proj_b": g(f"{p}.dt_proj.bias"),
+                    "A_log": g(f"{p}.A_log"),
+                    "D": g(f"{p}.D"),
+                },
+            }},
+        }
+    bb["norm_f_w"] = g("norm_f.weight")
+    return {"params": {"backbone": bb}}
+
+
 def import_reference_hyena_operator(
     state: Dict[str, np.ndarray], prefix: str = "", num_inner_mlps: int = 2
 ) -> Dict[str, Any]:

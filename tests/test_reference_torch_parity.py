@@ -253,3 +253,56 @@ def test_hyena_lm_matches_reference(ref_caduceus):
     finally:
         sys.path.remove(SHIM)
         sys.path.remove(REF)
+
+
+def test_mamba_dna_embedding_matches_reference(ref_caduceus):
+    """The reference's real DNAEmbeddingModelMamba (dna_embedding.py:99-153)
+    — mamba-ssm MixerModel backbone — executed on CPU, vs our unidirectional
+    non-rcps backbone with weights through
+    `convert.import_reference_mamba_backbone`."""
+    del ref_caduceus
+    sys.path.insert(0, SHIM)
+    sys.path.insert(0, REF)
+    try:
+        from mamba_ssm.models.config_mamba import MambaConfig
+        from src.models.sequence.dna_embedding import DNAEmbeddingModelMamba
+
+        import jax.numpy as jnp
+
+        from caduceus_tpu.config import CaduceusConfig, SSMConfig
+        from caduceus_tpu.convert import import_reference_mamba_backbone
+        from caduceus_tpu.models.caduceus import Caduceus
+        from caduceus_tpu.tokenization import CaduceusTokenizer
+
+        torch.manual_seed(0)
+        tok = CaduceusTokenizer()
+        mcfg = MambaConfig(
+            d_model=16, n_layer=2, vocab_size=tok.vocab_size,
+            ssm_cfg={"d_state": 4}, rms_norm=True, residual_in_fp32=True,
+            fused_add_norm=True, pad_vocab_size_multiple=8,
+        )
+        ref = DNAEmbeddingModelMamba(mcfg)
+        ref.eval()
+        ids = np.random.default_rng(4).integers(7, 11, (2, 40))
+        with torch.no_grad():
+            want, _ = ref(torch.from_numpy(ids))
+        want = want.numpy()
+
+        state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        cfg = CaduceusConfig(
+            d_model=16, n_layer=2, vocab_size=tok.vocab_size,
+            ssm_cfg=SSMConfig(d_state=4, use_kernel="xla"),
+            rcps=False, bidirectional=False,
+            complement_map=tok.complement_map,
+            rms_norm=True, residual_in_fp32=True,
+            dtype="float32", param_dtype="float32",
+        )
+        params = import_reference_mamba_backbone(state, n_layer=2)
+        got = np.asarray(Caduceus(cfg).apply(params, jnp.asarray(ids, jnp.int32)))
+
+        assert got.shape == want.shape
+        scale = np.abs(want).max() + 1e-9
+        np.testing.assert_allclose(got / scale, want / scale, atol=5e-5)
+    finally:
+        sys.path.remove(SHIM)
+        sys.path.remove(REF)
