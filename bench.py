@@ -65,6 +65,11 @@ def main():
     remat_span = int(os.environ.get("BENCH_REMAT_SPAN", 1))
 
     tok = CaduceusTokenizer()
+    # BENCH_FUSED_FRAME=1 (default) = the reference's training config
+    # (`configs/model/caduceus.yaml` fused_add_norm: true — the released-
+    # checkpoint RCPS block frame, one strand swap + (L,d) reversal per
+    # block); 0 benches the cheaper non-fused frame.
+    fused_frame = os.environ.get("BENCH_FUSED_FRAME", "1") == "1"
     cfg = CaduceusConfig(
         d_model=256,
         n_layer=n_layer,
@@ -74,6 +79,7 @@ def main():
         complement_map=tok.complement_map,
         dtype="bfloat16",
         residual_in_fp32=False,
+        fused_add_norm=fused_frame,
         remat=True,
         remat_span=remat_span,
     )

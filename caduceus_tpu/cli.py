@@ -274,16 +274,20 @@ def cmd_eval(argv):
         mlm = False
         # same optimizer transform chain as pretrain (checkpointed opt-state
         # pytree must match the restore template), rebuilt against the run's
-        # recorded base lr so the factor values are right too
-        lr_overrides = hyena_lr_overrides(raw.get("lr", TrainerConfig.lr))
+        # recorded base lr so the factor values are right too — the trainer
+        # below must use that same base lr or lr_multiplier_tree computes
+        # filter_lr/default_lr instead of 1.0 (train/optim.py:84)
+        run_lr = raw.get("lr", TrainerConfig.lr)
+        lr_overrides = hyena_lr_overrides(run_lr)
     else:
         cfg = CaduceusConfig.load(cfg_path)
         model = CaduceusForMaskedLM(cfg)
         # objective recorded at pretrain time (older runs default to MLM)
         mlm = raw.get("objective", "mlm") == "mlm"
+        run_lr = TrainerConfig.lr
     dm = HG38DataModule(args.bed, args.fasta, max_length=args.max_length,
                         batch_size=args.batch_size, mlm=mlm)
-    tcfg = TrainerConfig(run_dir=args.run_dir)
+    tcfg = TrainerConfig(run_dir=args.run_dir, lr=run_lr)
     trainer = Trainer(model, tcfg, dm.train_loader(), dm.eval_loader(args.split),
                       lr_overrides=lr_overrides)
     trainer.init_state(next(iter(trainer.train_loader)))

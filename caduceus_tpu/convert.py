@@ -110,9 +110,15 @@ def import_reference_state_dict(state: Dict[str, np.ndarray], cfg) -> Dict:
 
 
 def export_reference_state_dict(variables: Dict, cfg) -> Dict[str, np.ndarray]:
-    """{'params': ...} tree → reference-named numpy state dict."""
+    """{'params': ...} tree → reference-named numpy state dict.
+
+    rcps + fused_add_norm=False targets the non-fused reference naming
+    (norms wrapped in RCPSAddNormWrapper → `.submodule.weight`)."""
     p = variables["params"]
     rcps = cfg.rcps
+    # non-fused rcps wraps every norm in RCPSAddNormWrapper
+    norm_hop = (".submodule"
+                if rcps and not getattr(cfg, "fused_add_norm", True) else "")
     out: Dict[str, np.ndarray] = {}
     bb = p["backbone"]
     emb = np.asarray(bb["embedding"])
@@ -126,7 +132,8 @@ def export_reference_state_dict(variables: Dict, cfg) -> Dict[str, np.ndarray]:
 
     for i in range(cfg.n_layer):
         layer = bb[f"layers_{i}"]
-        out[f"caduceus.backbone.layers.{i}.norm.weight"] = np.asarray(layer["norm_w"])
+        out[f"caduceus.backbone.layers.{i}.norm{norm_hop}.weight"] = \
+            np.asarray(layer["norm_w"])
         mixer = layer["mixer"]
         fwd_p = _mamba_prefix(i, rcps, "fwd")
         rev_p = _mamba_prefix(i, rcps, "rev")
@@ -148,7 +155,7 @@ def export_reference_state_dict(variables: Dict, cfg) -> Dict[str, np.ndarray]:
             op = mixer.get("out_proj_rev", mixer["out_proj"])
             put(rev_p, mixer["rev"], ip, op)
 
-    out["caduceus.backbone.norm_f.weight"] = np.asarray(bb["norm_f_w"])
+    out[f"caduceus.backbone.norm_f{norm_hop}.weight"] = np.asarray(bb["norm_f_w"])
     return out
 
 

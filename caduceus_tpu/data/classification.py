@@ -61,16 +61,36 @@ NT_TASK_METRICS = {
 }  # histone tasks default to mcc
 
 
-def load_tsv(path: str, regression: bool = False) -> Tuple[List[str], np.ndarray]:
-    """Load `sequence<TAB>label` records (float targets when regression)."""
+def load_tsv(path: str, regression: bool = False, multi_label: bool = False):
+    """Load `sequence<TAB>label` records.
+
+    Label field: an int class id; a float target when ``regression``; or a
+    comma-separated list of active class indices (e.g. ``0,3``) when
+    ``multi_label`` (returned as a list of index tuples — the datamodule
+    multi-hots them with a split-consistent class count).
+    """
     seqs, labels = [], []
     with open(path) as f:
         for rec in csv.reader(f, delimiter="\t"):
             if not rec or rec[0].startswith("#"):
                 continue
             seqs.append(rec[0])
-            labels.append(float(rec[1]) if regression else int(rec[1]))
+            if multi_label:
+                labels.append(tuple(int(t) for t in rec[1].split(",") if t))
+            elif regression:
+                labels.append(float(rec[1]))
+            else:
+                labels.append(int(rec[1]))
+    if multi_label:
+        return seqs, labels
     return seqs, np.asarray(labels, np.float32 if regression else np.int32)
+
+
+def multi_hot(index_tuples, num_classes: int) -> np.ndarray:
+    out = np.zeros((len(index_tuples), num_classes), np.float32)
+    for r, t in enumerate(index_tuples):
+        out[r, list(t)] = 1.0
+    return out
 
 
 def train_val_split(n: int, val_frac: float, seed: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -98,9 +118,12 @@ class SeqClassificationDataset:
         seed: int = 0,
     ):
         self.sequences = list(sequences)
-        # dtype preserved: int32 class ids or float32 regression targets
+        # dtype preserved: float regression targets / multi-hot vectors stay
+        # float32; class ids stay int32
         labels = np.asarray(labels)
-        self.labels = labels if labels.dtype == np.float32 else labels.astype(np.int32)
+        self.labels = (labels.astype(np.float32)
+                       if np.issubdtype(labels.dtype, np.floating)
+                       else labels.astype(np.int32))
         assert len(self.sequences) == len(self.labels)
         self.max_length = max_length
         self.tokenizer = tokenizer or CharacterTokenizer(model_max_length=max_length)
@@ -114,7 +137,6 @@ class SeqClassificationDataset:
         # makes the TRAIN split behave like rc_aug (`:87`).
         self.conjoin = conjoin_train if split == "train" else (conjoin_train or conjoin_test)
         self.rc_flip = (rc_aug or (conjoin_test and split == "train")) and not self.conjoin
-        self._complement = self.tokenizer.complement_array()
 
     def __len__(self) -> int:
         return len(self.sequences)
@@ -124,18 +146,29 @@ class SeqClassificationDataset:
         return min(len(self.sequences[idx]) + int(self.add_eos), self.max_length)
 
     def get(self, idx: int, epoch: int = 0) -> Tuple[np.ndarray, np.int32]:
-        ids = self.tokenizer.encode_padded(
-            self.sequences[idx], self.max_length, add_sep=self.add_eos
-        )
+        # RC operates on the RAW sequence before tokenize/pad/truncate
+        # (`genomic_bench_dataset.py:86-118`): both conjoined channels are
+        # padded on the same side, and an rc-flipped item keeps its padding
+        # side (reversing the padded array would move pads to the other side
+        # and silently break length-masked pooling).
+        from caduceus_tpu.tokenization import string_reverse_complement
+
+        seq = self.sequences[idx]
         if self.conjoin:
-            rc = self._complement[ids[::-1]]
+            ids = self.tokenizer.encode_padded(seq, self.max_length,
+                                               add_sep=self.add_eos)
+            rc = self.tokenizer.encode_padded(
+                string_reverse_complement(seq), self.max_length,
+                add_sep=self.add_eos,
+            )
             x = np.stack([ids, rc], axis=-1)  # (L, 2)
         else:
-            x = ids
             if self.rc_flip:
                 rng = np.random.default_rng((self.seed, epoch, idx))
                 if rng.random() < 0.5:
-                    x = self._complement[ids[::-1]]
+                    seq = string_reverse_complement(seq)
+            x = self.tokenizer.encode_padded(seq, self.max_length,
+                                             add_sep=self.add_eos)
         return x.astype(np.int32), self.labels[idx]
 
     def __getitem__(self, idx: int):
@@ -163,12 +196,27 @@ class ClassificationDataModule:
         train_val_split_seed: int = 0,
         seed: int = 0,
         regression: bool = False,
+        multi_label: bool = False,
     ):
+        assert not (regression and multi_label)
         self.batch_size = batch_size
         self.regression = regression
         train_path = os.path.join(data_dir, task, "train.tsv")
         test_path = os.path.join(data_dir, task, "test.tsv")
-        seqs, labels = load_tsv(train_path, regression=regression)
+        seqs, labels = load_tsv(train_path, regression=regression,
+                                multi_label=multi_label)
+        if os.path.exists(test_path):
+            tseqs, tlabels = load_tsv(test_path, regression=regression,
+                                      multi_label=multi_label)
+        else:
+            tseqs, tlabels = None, None
+        if multi_label:
+            # class count consistent across splits (multi-hot width)
+            all_t = list(labels) + (list(tlabels) if tlabels else [])
+            C = max((max(t) for t in all_t if t), default=0) + 1
+            labels = multi_hot(labels, C)
+            if tlabels is not None:
+                tlabels = multi_hot(tlabels, C)
         tr_idx, va_idx = train_val_split(len(seqs), val_frac, train_val_split_seed)
         common = dict(
             max_length=max_length,
@@ -184,8 +232,7 @@ class ClassificationDataModule:
         self.val_ds = SeqClassificationDataset(
             [seqs[i] for i in va_idx], labels[va_idx], split="val", **common
         )
-        if os.path.exists(test_path):
-            tseqs, tlabels = load_tsv(test_path, regression=regression)
+        if tseqs is not None:
             self.test_ds = SeqClassificationDataset(
                 tseqs, tlabels, split="test", **common
             )
@@ -194,7 +241,12 @@ class ClassificationDataModule:
         self.tokenizer = self.train_ds.tokenizer
         # regression heads emit one scalar (reference
         # `configs/task/regression.yaml`: d_output 1)
-        self.num_classes = 1 if regression else int(labels.max()) + 1
+        if regression:
+            self.num_classes = 1
+        elif multi_label:
+            self.num_classes = labels.shape[1]
+        else:
+            self.num_classes = int(labels.max()) + 1
 
     def batches(self, split: str = "train", epoch: int = 0, shuffle: Optional[bool] = None,
                 seed: int = 0, drop_last: Optional[bool] = None) -> Iterator[Dict[str, np.ndarray]]:
@@ -209,8 +261,13 @@ class ClassificationDataModule:
             xs, ys = zip(*(ds.get(int(i), epoch) for i in chunk))
             yield {
                 "input_ids": np.stack(xs),
+                # float for regression targets / multi-hot label vectors,
+                # int class ids otherwise (ds.labels dtype is authoritative)
                 "labels": np.asarray(
-                    ys, np.float32 if self.regression else np.int32),
+                    ys,
+                    np.float32
+                    if np.issubdtype(ds.labels.dtype, np.floating)
+                    else np.int32),
                 "lengths": np.asarray(
                     [ds.seq_length(int(i)) for i in chunk], np.int32
                 ),

@@ -217,6 +217,13 @@ def finetune_one(
             err = pred - labels
             return {"mse": float(np.mean(err**2)),
                     "mae": float(np.mean(np.abs(err)))}
+        if problem_type == "multi_label_classification":
+            # sigmoid-thresholded per-label accuracy + exact-match ratio
+            preds = (scores > 0).astype(labels.dtype)
+            return {
+                "accuracy": float((preds == labels).mean()),
+                "subset_accuracy": float((preds == labels).all(-1).mean()),
+            }
         preds = np.argmax(scores, axis=-1)
         out = {"accuracy": float((preds == labels).mean())}
         if metric in ("mcc", "all"):
@@ -387,6 +394,7 @@ def main(argv=None):
             conjoin_train=args.conjoin_train, conjoin_test=args.conjoin_test,
             train_val_split_seed=seed, seed=seed,
             regression=(args.problem_type == "regression"),
+            multi_label=(args.problem_type == "multi_label_classification"),
         )
         r = finetune_one(
             cfg, dm, dm.num_classes, pretrained_params=pretrained_params,

@@ -80,15 +80,13 @@ class SequenceDecoder(nn.Module):
                         bias_init=torch_linear_init(fan_in),
                         name="output_transform")
         if x.ndim == 4:  # (B, L, d, 2) conjoined strands
+            # both channels share the padding side: the data layer RCs the
+            # RAW sequence before tokenize/pad (classification.py `get`,
+            # reference `genomic_bench_dataset.py:104-118`)
             pooled_f = restrict_sequence(x[..., 0], self.mode, lengths,
                                          self.padding_side)
-            # the rc channel is complement(ids[::-1]) (classification.py:129)
-            # — a full-array reversal, so its padding sits on the OPPOSITE
-            # side; pooling it with the forward side would average pad
-            # embeddings (and 'last' would select a pad position)
-            rc_side = "right" if self.padding_side == "left" else "left"
             pooled_r = restrict_sequence(x[..., 1], self.mode, lengths,
-                                         rc_side)
+                                         self.padding_side)
             return (head(pooled_f) + head(pooled_r)) / 2
         pooled = restrict_sequence(x, self.mode, lengths, self.padding_side)
         return head(pooled)

@@ -295,6 +295,7 @@ class HyenaLMHeadModel(nn.Module):
     l_max: int
     attn_layer_idx: Sequence[int] = ()
     num_heads: int = 8  # MHA heads on hybrid attention layers
+    max_position_embeddings: int = 0  # 0 = no learned positional embedding
     hyena_kwargs: Optional[dict] = None
     embed_dropout: float = 0.1
     resid_dropout: float = 0.0
@@ -305,6 +306,7 @@ class HyenaLMHeadModel(nn.Module):
         h, embed = HyenaLMBackbone(
             self.d_model, self.n_layer, self.vocab_size, self.l_max,
             attn_layer_idx=self.attn_layer_idx, num_heads=self.num_heads,
+            max_position_embeddings=self.max_position_embeddings,
             hyena_kwargs=self.hyena_kwargs,
             embed_dropout=self.embed_dropout, resid_dropout=self.resid_dropout,
             dtype=self.dtype, name="backbone",

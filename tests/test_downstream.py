@@ -49,13 +49,44 @@ def test_train_val_split_deterministic():
 
 
 def test_conjoin_item_shape(task_dir):
+    from caduceus_tpu.tokenization import string_reverse_complement
+
     dm = ClassificationDataModule(task_dir, "demo", max_length=64, batch_size=8,
                                   conjoin_train=True)
     x, y = dm.train_ds.get(0)
     assert x.shape == (64, 2)
-    # second channel is the rc of the first
-    comp = dm.tokenizer.complement_array()
-    np.testing.assert_array_equal(x[:, 1], comp[x[::-1, 0]])
+    # second channel tokenizes the rc of the RAW sequence — same padding
+    # side as the forward channel (`genomic_bench_dataset.py:104-118`)
+    rc = dm.tokenizer.encode_padded(
+        string_reverse_complement(dm.train_ds.sequences[0]), 64, add_sep=False
+    )
+    np.testing.assert_array_equal(x[:, 1], rc)
+
+
+def test_rc_paths_keep_padding_side(task_dir):
+    """rc_aug / conjoin operate on the raw sequence BEFORE padding: a
+    flipped or conjoined item must keep its pads on the tokenizer's padding
+    side, or length-masked pooling silently averages pad embeddings
+    (r2 review finding)."""
+    import os
+
+    from caduceus_tpu.tokenization import PAD_ID
+
+    # short sequences → real padding (left side by default)
+    short_dir = os.path.join(task_dir, "..", "short")
+    os.makedirs(os.path.join(short_dir, "t"), exist_ok=True)
+    with open(os.path.join(short_dir, "t", "train.tsv"), "w") as f:
+        for i in range(8):
+            f.write(f"ACGTACGTAC\t{i % 2}\n")
+    for kwargs in ({"rc_aug": True}, {"conjoin_train": True}):
+        dm = ClassificationDataModule(short_dir, "t", max_length=16,
+                                      batch_size=4, **kwargs)
+        for i in range(len(dm.train_ds)):
+            x, _ = dm.train_ds.get(i, epoch=0)
+            chans = [x] if x.ndim == 1 else [x[:, 0], x[:, 1]]
+            for c in chans:
+                assert (c[:6] == PAD_ID).all(), "pads must stay on the left"
+                assert (c[6:] != PAD_ID).all()
 
 
 def test_conjoin_test_only(task_dir):
