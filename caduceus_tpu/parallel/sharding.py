@@ -13,11 +13,13 @@ Megatron-style layout for the Mamba block:
 so each model shard runs an independent slice of the scan and the out_proj
 contraction produces the psum.
 
-Scope note: the Pallas scan kernel currently computes on replicated
-activations; TP sharding applies to the XLA scan path (use_kernel="xla") or
-requires shard_map around the kernel (future work). With the reference's
-model sizes (d_model 256) TP is not profitable — these specs keep the
-capability parameterized, as the survey prescribes.
+Scope note: on the XLA scan path these specs alone make pjit shard the
+inner scan; on the Pallas path set ``tensor_parallel_axis`` on the model
+config as well, which shard_maps the kernel over its d_inner slice
+(``models/mamba.py``) — TP==DP parity is tested both ways
+(`tests/test_sharding.py`). With the reference's model sizes (d_model 256)
+TP is not profitable — these specs keep the capability parameterized, as
+the survey prescribes.
 """
 
 from __future__ import annotations
