@@ -70,11 +70,24 @@ def main():
     # checkpoint RCPS block frame, one strand swap + (L,d) reversal per
     # block); 0 benches the cheaper non-fused frame.
     fused_frame = os.environ.get("BENCH_FUSED_FRAME", "1") == "1"
+    # BENCH_SSM_VERSION=2 benches the Mamba-2 (SSD) mixer — the MXU-chunked
+    # beyond-reference family (`models/mamba2.py`); d_state follows the
+    # mamba-ssm 2.x default (128) there, overridable via BENCH_D_STATE.
+    ssm_version = int(os.environ.get("BENCH_SSM_VERSION", 1))
+    if ssm_version == 2:
+        ssm_cfg = SSMConfig(
+            version=2,
+            d_state=int(os.environ.get("BENCH_D_STATE", 128)),
+            ssd_chunk_size=int(os.environ.get("BENCH_SSD_CHUNK", 256)),
+            ssd_seg_chunks=int(os.environ.get("BENCH_SSD_SEG", 8)),
+        )
+    else:
+        ssm_cfg = SSMConfig(use_kernel=kernel)
     cfg = CaduceusConfig(
         d_model=256,
         n_layer=n_layer,
         vocab_size=tok.vocab_size,
-        ssm_cfg=SSMConfig(use_kernel=kernel),
+        ssm_cfg=ssm_cfg,
         rcps=True,
         complement_map=tok.complement_map,
         dtype="bfloat16",
@@ -195,7 +208,9 @@ def main():
         "value": round(tokens_per_sec_chip, 1),
         "unit": (
             f"tokens/s/chip (seqlen={seqlen}, d_model=256, n_layer={n_layer}, "
-            f"rcps, micro_batch={micro_batch}, accum={accum}, kernel={kernel})"
+            f"rcps, micro_batch={micro_batch}, accum={accum}, "
+            + (f"mamba2/ssd d_state={cfg.ssm_cfg.d_state})"
+               if ssm_version == 2 else f"kernel={kernel})")
         ),
         "vs_baseline": (round(tokens_per_sec_chip / r1_headline, 3)
                         if at_headline else None),

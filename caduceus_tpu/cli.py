@@ -40,11 +40,12 @@ def _build_model_config(args, tokenizer):
         cfg = CaduceusConfig.load(args.config_path)
         cfg.complement_map = tokenizer.complement_map
         return cfg
+    ssm_cfg = getattr(args, "ssm_cfg", None)
     return CaduceusConfig(
         d_model=args.d_model,
         n_layer=args.n_layer,
         vocab_size=tokenizer.vocab_size,
-        ssm_cfg=SSMConfig(),
+        ssm_cfg=SSMConfig(**ssm_cfg) if ssm_cfg else SSMConfig(),
         rcps=not args.no_rcps,
         bidirectional_strategy=args.bidirectional_strategy,
         bidirectional_weight_tie=not args.no_weight_tie,
@@ -102,6 +103,10 @@ def _load_preset(argv):
         flat["rc_aug"] = True
     if data.get("mlm") is False:
         flat["ntp"] = True
+    # nested SSM settings pass through whole (e.g. version: 2 selects the
+    # Mamba-2/SSD mixer — configs/hg38_mlm_v2.yaml)
+    if isinstance(model.get("ssm_cfg"), dict):
+        flat["ssm_cfg"] = model["ssm_cfg"]
     return flat, argv
 
 

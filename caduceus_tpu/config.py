@@ -38,6 +38,20 @@ class SSMConfig:
     # equivalent switch selects the Pallas kernel vs the XLA chunked scan.
     use_kernel: str = "auto"  # "auto" | "pallas" | "xla"
 
+    # --- Mamba-2 (SSD) — beyond the reference (it pins mamba-ssm 1.2.0,
+    # which predates Mamba-2). version=2 swaps the mixer for the MXU-chunked
+    # dual form (`ops/ssd.py`, `models/mamba2.py`); the fields below are
+    # ignored for version=1. For version=2 the mamba-ssm 2.x defaults are
+    # d_state=128 (set it explicitly — this dataclass keeps the v1 default
+    # 16), headdim=64, ngroups=1.
+    version: int = 1  # 1 = selective scan | 2 = SSD
+    headdim: int = 64
+    ngroups: int = 1
+    a_init_range: Any = (1.0, 16.0)
+    ssd_chunk_size: int = 256
+    # chunks batched per scan step (MXU batching vs live-memory trade)
+    ssd_seg_chunks: int = 8
+
     def resolved_dt_rank(self, d_model: int) -> int:
         if self.dt_rank == "auto":
             return math.ceil(d_model / 16)
@@ -124,6 +138,27 @@ class CaduceusConfig:
             raise NotImplementedError(
                 f"bidirectional_strategy={self.bidirectional_strategy!r} not implemented"
             )
+        s = self.ssm_cfg
+        if s.version not in (1, 2):
+            raise NotImplementedError(f"ssm_cfg.version={s.version!r}")
+        if s.version == 2:
+            if isinstance(s.a_init_range, list):
+                s.a_init_range = tuple(s.a_init_range)
+            if self.d_inner % s.headdim != 0:
+                raise ValueError(
+                    f"d_inner {self.d_inner} not divisible by headdim {s.headdim}"
+                )
+            if (self.d_inner // s.headdim) % s.ngroups != 0:
+                raise ValueError(
+                    f"nheads {self.d_inner // s.headdim} not divisible by "
+                    f"ngroups {s.ngroups}"
+                )
+            if self.tensor_parallel_axis or self.context_parallel_axis:
+                raise NotImplementedError(
+                    "tensor/context parallelism is v1-only for now (the SSD "
+                    "op supports h_init/final-state chaining; wiring the "
+                    "shard_map paths for v2 is future work)"
+                )
 
     # -- derived quantities ------------------------------------------------
     @property
@@ -153,6 +188,11 @@ class CaduceusConfig:
     @property
     def d_inner(self) -> int:
         return self.ssm_cfg.expand * self.d_model
+
+    @property
+    def nheads(self) -> int:
+        """Mamba-2 head count (version=2 only)."""
+        return self.d_inner // self.ssm_cfg.headdim
 
     @property
     def dt_rank(self) -> int:

@@ -93,7 +93,14 @@ class CaduceusBlock(nn.Module):
             residual_in_fp32=c.residual_in_fp32,
             prenorm=True,
         )
-        out = BiMamba(c, self.scan_chunk_size, name="mixer")(normed)
+        if c.ssm_cfg.version == 2:
+            # Mamba-2 (SSD) mixer — MXU-chunked, beyond the reference
+            # (`models/mamba2.py`). Same (out, residual) block contract.
+            from caduceus_tpu.models.mamba2 import BiMamba2
+
+            out = BiMamba2(c, name="mixer")(normed)
+        else:
+            out = BiMamba(c, self.scan_chunk_size, name="mixer")(normed)
         return out, residual
 
 

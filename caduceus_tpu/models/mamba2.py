@@ -1,0 +1,247 @@
+"""Mamba-2 mixer and BiMamba2 — MXU-resident SSM blocks (beyond reference).
+
+The reference framework cannot express Mamba-2: it pins mamba-ssm
+1.2.0.post1 (`caduceus_env.yml:50`), which predates the architecture
+(Dao & Gu, arXiv:2405.21060). This module adds it as an additional model
+family because on TPU the trade is decisive: Mamba-1's per-(channel, state)
+decay forces the scan onto the VPU (the measured headline ceiling — see
+PARITY.md "Roofline note"), while Mamba-2's scalar-per-head decay makes the
+chunked dual form exact and stable, so the O(L) recurrence runs as batched
+(T, T) @ (T, P) matmuls on the MXU (`ops/ssd.py`).
+
+Semantics follow mamba-ssm 2.x ``Mamba2`` (defaults: norm_before_gate=False,
+D_has_hdim=False, dt_limit unbounded):
+
+    in_proj:  d_model -> [z (d_inner), xBC (d_inner + 2·NG·N), dt (H)]
+    xBC:      depthwise causal conv (d_conv) + SiLU, split into x, B, C
+    ssd:      per-head scan with dt = softplus(dt + dt_bias), A = -exp(A_log)
+    norm:     gated RMSNorm  y = rmsnorm_groups(y · silu(z)) · w
+    out_proj: d_inner -> d_model
+
+``BiMamba2`` mirrors ``BiMamba``'s capability surface (the reference
+`BiMambaWrapper` contract, `caduceus/modeling_caduceus.py:87-140`): the four
+(weight-tie × combine-strategy) configurations plus ``bidirectional=False``.
+Direction-specific parameters are the conv, dt_bias, A_log and D; weight
+tying shares in_proj/out_proj/norm across directions, and the reverse
+direction never materializes a flipped (G, L, ·) copy (`ops/ssd.py`
+``reverse`` flips only transient per-chunk tensors).
+
+Parallelism scope: DP and the Megatron in/out-proj specs apply unchanged.
+``tensor_parallel_axis`` / ``context_parallel_axis`` are v1-only for now
+(the SSD op already takes h_init / returns final state, so the two-pass
+sequence-parallel construction of `parallel/seq_scan.py` ports directly —
+left as future work); a config with both version=2 and either axis set is
+rejected at construction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from caduceus_tpu.config import CaduceusConfig
+from caduceus_tpu.models.mamba import (
+    _residual_rescale,
+    dt_proj_bias_init,
+    torch_linear_init,
+)
+from caduceus_tpu.ops.ssd import ssd_chunked
+
+
+def a_log_init_v2(a_min: float, a_max: float):
+    """Mamba-2 A init: A ~ Uniform[a_min, a_max] per head, stored as log."""
+
+    def init(key, shape, dtype=jnp.float32):
+        a = jax.random.uniform(key, shape, jnp.float32, a_min, a_max)
+        return jnp.log(a).astype(dtype)
+
+    return init
+
+
+def rms_norm_gated(y, z, weight, ngroups: int, eps: float):
+    """Mamba-2 RMSNormGated (norm_before_gate=False): rmsnorm(y·silu(z))·w,
+    RMS statistics taken per channel-group of size d_inner // ngroups."""
+    dtype = y.dtype
+    y = y.astype(jnp.float32) * jax.nn.silu(z.astype(jnp.float32))
+    g = y.reshape(*y.shape[:-1], ngroups, y.shape[-1] // ngroups)
+    var = jnp.mean(jnp.square(g), axis=-1, keepdims=True)
+    g = g * jax.lax.rsqrt(var + eps)
+    y = g.reshape(y.shape) * weight.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+class _DirectionParamsV2(nn.Module):
+    """Per-direction Mamba-2 parameters: conv over xBC, dt_bias, A_log, D."""
+
+    cfg: CaduceusConfig
+
+    def setup(self):
+        c = self.cfg
+        s = c.ssm_cfg
+        H = c.nheads
+        d_conv_dim = c.d_inner + 2 * s.ngroups * s.d_state
+        pdt = jnp.dtype(c.param_dtype)
+        self.conv_w = self.param(
+            "conv_w", torch_linear_init(s.d_conv), (s.d_conv, d_conv_dim), pdt
+        )
+        self.conv_b = (
+            self.param("conv_b", torch_linear_init(s.d_conv), (d_conv_dim,), pdt)
+            if s.conv_bias
+            else None
+        )
+        self.dt_bias = self.param(
+            "dt_bias",
+            dt_proj_bias_init(s.dt_min, s.dt_max, s.dt_init_floor),
+            (H,),
+            pdt,
+        )
+        # A_log / D in fp32 always (same policy as v1: no weight decay, the
+        # scan reads them in fp32)
+        self.A_log = self.param(
+            "A_log", a_log_init_v2(*s.a_init_range), (H,), jnp.float32
+        )
+        self.D = self.param("D", nn.initializers.ones, (H,), jnp.float32)
+
+    def __call__(self, xBC_raw: jnp.ndarray, dt_raw: jnp.ndarray,
+                 reverse: bool) -> jnp.ndarray:
+        """conv -> split -> SSD for one direction.
+
+        ``xBC_raw``: (..., L, d_inner + 2·NG·N) pre-conv; ``dt_raw``:
+        (..., L, H). Returns the ungated scan output (..., L, d_inner).
+        """
+        c = self.cfg
+        s = c.ssm_cfg
+        H, P, NG, N = c.nheads, s.headdim, s.ngroups, s.d_state
+        lead = xBC_raw.shape[:-2]
+        L = xBC_raw.shape[-2]
+        x3 = xBC_raw.reshape((-1, L, xBC_raw.shape[-1]))
+        G = x3.shape[0]
+        # fused-conv mode: the depthwise conv + SiLU + x/B/C split run
+        # inside the scan's checkpointed chunk bodies, so the post-conv
+        # (L, d_inner + 2·NG·N) tensor never materializes at full length
+        # (required to fit 131k training in 16 GB HBM)
+        y = ssd_chunked(
+            x3,
+            dt_raw.reshape(G, L, H),
+            -jnp.exp(self.A_log),
+            None,
+            None,
+            D=self.D,
+            dt_bias=self.dt_bias,
+            dt_softplus=True,
+            reverse=reverse,
+            chunk_size=s.ssd_chunk_size,
+            seg_chunks=s.ssd_seg_chunks,
+            conv_w=self.conv_w.astype(x3.dtype),
+            conv_b=(None if self.conv_b is None
+                    else self.conv_b.astype(x3.dtype)),
+            dims=(H, P, NG, N),
+        )
+        return y.reshape(*lead, L, c.d_inner)
+
+
+def _split_zxbcdt(c: CaduceusConfig, zxbcdt: jnp.ndarray):
+    s = c.ssm_cfg
+    d_xbc = c.d_inner + 2 * s.ngroups * s.d_state
+    return jnp.split(zxbcdt, [c.d_inner, c.d_inner + d_xbc], axis=-1)
+
+
+class Mamba2Mixer(nn.Module):
+    """Unidirectional Mamba-2 mixer (mamba-ssm 2.x ``Mamba2`` semantics)."""
+
+    cfg: CaduceusConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        s = c.ssm_cfg
+        dtype = jnp.dtype(c.dtype)
+        pdt = jnp.dtype(c.param_dtype)
+        x = x.astype(dtype)
+        d_in_proj = 2 * c.d_inner + 2 * s.ngroups * s.d_state + c.nheads
+        in_proj = nn.Dense(
+            d_in_proj, use_bias=s.bias,
+            kernel_init=torch_linear_init(c.d_model),
+            param_dtype=pdt, dtype=dtype, name="in_proj",
+        )
+        out_proj = nn.Dense(
+            c.d_model, use_bias=s.bias,
+            kernel_init=torch_linear_init(c.d_inner, scale=_residual_rescale(c)),
+            param_dtype=pdt, dtype=dtype, name="out_proj",
+        )
+        norm_w = self.param("norm_w", nn.initializers.ones, (c.d_inner,), pdt)
+        z, xBC_raw, dt_raw = _split_zxbcdt(c, in_proj(x))
+        y = _DirectionParamsV2(c, name="fwd")(xBC_raw, dt_raw, reverse=False)
+        y = rms_norm_gated(y, z, norm_w, s.ngroups, c.norm_epsilon)
+        return out_proj(y)
+
+
+class BiMamba2(nn.Module):
+    """Bidirectional Mamba-2 with structural weight sharing (the
+    `BiMambaWrapper` capability surface on the v2 mixer)."""
+
+    cfg: CaduceusConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        if not c.bidirectional:
+            return Mamba2Mixer(c, name="mamba_fwd")(x)
+        s = c.ssm_cfg
+        dtype = jnp.dtype(c.dtype)
+        pdt = jnp.dtype(c.param_dtype)
+        x = x.astype(dtype)
+        tied = c.bidirectional_weight_tie
+        strategy = c.bidirectional_strategy
+
+        d_in_proj = 2 * c.d_inner + 2 * s.ngroups * s.d_state + c.nheads
+
+        def dense(feats, fan_in, scale, name):
+            return nn.Dense(
+                feats, use_bias=s.bias,
+                kernel_init=torch_linear_init(fan_in, scale=scale),
+                param_dtype=pdt, dtype=dtype, name=name,
+            )
+
+        rescale = _residual_rescale(c)
+        in_proj = dense(d_in_proj, c.d_model, 1.0, "in_proj")
+        out_proj = dense(c.d_model, c.d_inner, rescale, "out_proj")
+        norm_w = self.param("norm_w", nn.initializers.ones, (c.d_inner,), pdt)
+
+        fwd = _DirectionParamsV2(c, name="fwd")
+        rev = _DirectionParamsV2(c, name="rev")
+
+        def gated(y, z):
+            return rms_norm_gated(y, z, norm_w, s.ngroups, c.norm_epsilon)
+
+        if tied:
+            z, xBC_raw, dt_raw = _split_zxbcdt(c, in_proj(x))
+            y_f = fwd(xBC_raw, dt_raw, reverse=False)
+            y_r = rev(xBC_raw, dt_raw, reverse=True)
+            if strategy == "add":
+                # directional scan outputs combine pre-gate (the v1
+                # fused-add contract): one gated norm, one out_proj
+                return out_proj(gated(y_f + y_r, z))
+            # ew_multiply with shared norm/out_proj weights
+            return out_proj(gated(y_f, z)) * out_proj(gated(y_r, z))
+
+        in_proj_rev = dense(d_in_proj, c.d_model, 1.0, "in_proj_rev")
+        out_proj_rev = dense(c.d_model, c.d_inner, rescale, "out_proj_rev")
+        norm_w_rev = self.param(
+            "norm_w_rev", nn.initializers.ones, (c.d_inner,), pdt
+        )
+        z_f, xBC_f, dt_f = _split_zxbcdt(c, in_proj(x))
+        z_r, xBC_r, dt_r = _split_zxbcdt(c, in_proj_rev(x))
+        y_f = fwd(xBC_f, dt_f, reverse=False)
+        y_r = rev(xBC_r, dt_r, reverse=True)
+        o_f = out_proj(gated(y_f, z_f))
+        o_r = out_proj_rev(
+            rms_norm_gated(y_r, z_r, norm_w_rev, s.ngroups, c.norm_epsilon)
+        )
+        if strategy == "add":
+            return o_f + o_r
+        return o_f * o_r

@@ -1,0 +1,239 @@
+"""Mamba-2 / SSD tests: the chunked dual form vs the sequential oracle,
+single-step recurrence, state chaining, and the Caduceus-2 model family
+(RC equivariance with the v2 mixer, train-step smoke).
+
+The SSD op (`ops/ssd.py`) and model family (`models/mamba2.py`) are beyond
+the reference (it pins mamba-ssm 1.2.0, pre-Mamba-2); semantics follow
+mamba-ssm 2.x `Mamba2` / arXiv:2405.21060.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from caduceus_tpu.config import CaduceusConfig, SSMConfig
+from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
+from caduceus_tpu.ops.ssd import ssd_chunked, ssd_ref, ssd_step
+from caduceus_tpu.tokenization import CaduceusTokenizer
+
+
+def make_inputs(G=2, L=100, H=4, P=8, NG=2, N=16, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda s, sc=1.0: jnp.asarray(rng.standard_normal(s) * sc, jnp.float32)
+    x = mk((G, L, H, P))
+    dt = mk((G, L, H), 0.5)
+    A = -jnp.exp(mk((H,), 0.5))
+    B = mk((G, L, NG, N))
+    C = mk((G, L, NG, N))
+    D = mk((H,))
+    bias = mk((H,), 0.1)
+    return x, dt, A, B, C, D, bias
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("chunk", [16, 32, 100])
+def test_chunked_matches_oracle(reverse, chunk):
+    x, dt, A, B, C, D, bias = make_inputs()
+    y0, h0 = ssd_ref(x, dt, A, B, C, D, bias, True, reverse,
+                     return_final_state=True)
+    y1, h1 = ssd_chunked(x, dt, A, B, C, D, bias, True, reverse,
+                         chunk_size=chunk, return_final_state=True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_odd_length_padding():
+    # L=77 not a multiple of the chunk: identity pad steps must not
+    # perturb y or the final state
+    x, dt, A, B, C, D, bias = make_inputs(L=77)
+    y0, h0 = ssd_ref(x, dt, A, B, C, D, bias, True, False,
+                     return_final_state=True)
+    y1, h1 = ssd_chunked(x, dt, A, B, C, D, bias, True, False,
+                         chunk_size=32, return_final_state=True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grads_match_oracle():
+    x, dt, A, B, C, D, bias = make_inputs(L=64)
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a, D, bias, True, False) ** 2)
+
+    g0 = jax.grad(loss(ssd_ref), argnums=(0, 1, 2, 3, 4))(x, dt, A, B, C)
+    g1 = jax.grad(loss(ssd_chunked), argnums=(0, 1, 2, 3, 4))(x, dt, A, B, C)
+    for a, b in zip(g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-9
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5)
+        assert np.isfinite(b).all()
+
+
+def test_step_matches_scan():
+    x, dt, A, B, C, D, bias = make_inputs(G=1, L=40)
+    y0 = ssd_ref(x, dt, A, B, C, D, bias, True, False)
+    G, L, H, P = x.shape
+    N = B.shape[-1]
+    h = jnp.zeros((G, H, N, P), jnp.float32)
+    ys = []
+    for t in range(L):
+        h, yt = ssd_step(h, x[:, t], dt[:, t], A, B[:, t], C[:, t], D,
+                         bias, True)
+        ys.append(yt)
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(jnp.stack(ys, axis=1)),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_state_chaining():
+    # split the sequence; final state of the head chains into the tail
+    x, dt, A, B, C, D, bias = make_inputs(L=96)
+    y_full = ssd_chunked(x, dt, A, B, C, D, bias, True, False, 32)
+    cut = 40
+    _, h_mid = ssd_chunked(x[:, :cut], dt[:, :cut], A, B[:, :cut],
+                           C[:, :cut], D, bias, True, False, 32,
+                           return_final_state=True)
+    y_tail = ssd_chunked(x[:, cut:], dt[:, cut:], A, B[:, cut:], C[:, cut:],
+                         D, bias, True, False, 32, h_init=h_mid)
+    np.testing.assert_allclose(np.asarray(y_full[:, cut:]),
+                               np.asarray(y_tail), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fused_conv_matches_composed(reverse):
+    # fused-conv mode == causal_conv1d -> split -> oracle
+    from caduceus_tpu.ops.conv import causal_conv1d
+
+    rng = np.random.default_rng(3)
+    G, L, H, P, NG, N, K = 2, 100, 4, 8, 2, 16, 4
+    ch = H * P + 2 * NG * N
+    mk = lambda s, sc=1.0: jnp.asarray(rng.standard_normal(s) * sc,
+                                       jnp.float32)
+    xBC = mk((G, L, ch))
+    dt = mk((G, L, H), 0.5)
+    A = -jnp.exp(mk((H,), 0.5))
+    D, bias = mk((H,)), mk((H,), 0.1)
+    cw, cb = mk((K, ch), 0.3), mk((ch,), 0.1)
+    xc = causal_conv1d(xBC, cw, cb, activation="silu", reverse=reverse)
+    x_in, B, C = jnp.split(xc, [H * P, H * P + NG * N], axis=-1)
+    y0 = ssd_ref(x_in.reshape(G, L, H, P), dt, A, B.reshape(G, L, NG, N),
+                 C.reshape(G, L, NG, N), D, bias, True, reverse)
+    y1 = ssd_chunked(xBC, dt, A, None, None, D, bias, True, reverse,
+                     chunk_size=32, conv_w=cw, conv_b=cb, dims=(H, P, NG, N))
+    np.testing.assert_allclose(np.asarray(y0),
+                               np.asarray(y1.reshape(G, L, H, P)),
+                               rtol=1e-4, atol=1e-4)
+    g = jax.grad(lambda w: jnp.sum(ssd_chunked(
+        xBC, dt, A, None, None, D, bias, True, reverse, 48,
+        conv_w=w, conv_b=cb, dims=(H, P, NG, N)) ** 2))(cw)
+    assert bool(jnp.isfinite(g).all())
+
+
+@pytest.mark.parametrize("seg_chunks", [1, 3])
+def test_seg_chunks_invariance(seg_chunks):
+    x, dt, A, B, C, D, bias = make_inputs(L=96)
+    y0 = ssd_ref(x, dt, A, B, C, D, bias, True, False)
+    y1 = ssd_chunked(x, dt, A, B, C, D, bias, True, False, 16,
+                     seg_chunks=seg_chunks)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_single_group_broadcast():
+    # NG=1 (the mamba-ssm default): every head shares one B/C
+    x, dt, A, B, C, D, bias = make_inputs(NG=1, N=8)
+    y0 = ssd_ref(x, dt, A, B, C, D, bias, True, False)
+    y1 = ssd_chunked(x, dt, A, B, C, D, bias, True, False, 32)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Model family
+# ---------------------------------------------------------------------------
+
+def v2_config(**kw) -> CaduceusConfig:
+    tok = CaduceusTokenizer()
+    defaults = dict(
+        d_model=32,
+        n_layer=2,
+        vocab_size=tok.vocab_size,
+        ssm_cfg=SSMConfig(version=2, d_state=16, headdim=8),
+        rcps=True,
+        complement_map=tok.complement_map,
+        dtype="float32",
+    )
+    defaults.update(kw)
+    return CaduceusConfig(**defaults)
+
+
+def _rc_ids(cfg, ids):
+    cm = cfg.padded_complement_map()
+    comp = jnp.asarray([cm.get(i, i) for i in range(cfg.padded_vocab_size)])
+    return jnp.flip(comp[ids], axis=1), comp
+
+
+@pytest.mark.parametrize("tie", [True, False])
+@pytest.mark.parametrize("strategy", ["add", "ew_multiply"])
+def test_caduceus2_rc_equivariance(tie, strategy):
+    cfg = v2_config(bidirectional_weight_tie=tie,
+                    bidirectional_strategy=strategy)
+    model = CaduceusForMaskedLM(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 48), 7, 11)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    logits = model.apply(params, ids)
+    rc_ids, comp = _rc_ids(cfg, ids)
+    lo_rc = model.apply(params, rc_ids)
+    np.testing.assert_allclose(
+        np.asarray(lo_rc),
+        np.asarray(jnp.flip(logits, axis=1)[..., comp]),
+        rtol=6e-4, atol=2e-3,
+    )
+
+
+def test_caduceus2_variants_build():
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 7, 11)
+    for kw in (dict(rcps=False), dict(rcps=False, bidirectional=False),
+               dict(rcps=False, fused_add_norm=False)):
+        cfg = v2_config(**kw)
+        model = CaduceusForMaskedLM(cfg)
+        params = model.init(jax.random.PRNGKey(0), ids)
+        out = model.apply(params, ids)
+        assert out.shape == (2, 32, cfg.padded_vocab_size)
+
+
+def test_caduceus2_train_step_learns():
+    from caduceus_tpu.train.trainer import TrainState, make_train_step
+
+    cfg = v2_config(n_layer=1)
+    model = CaduceusForMaskedLM(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(7, 11, (4, 64)), jnp.int32),
+        "targets": jnp.asarray(rng.integers(7, 11, (4, 64)), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"])
+    tx = optax.adam(1e-2)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(model.apply, tx, ignore_index=4))
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.1, losses
+
+
+def test_v2_config_validation():
+    with pytest.raises(ValueError):
+        v2_config(ssm_cfg=SSMConfig(version=2, headdim=7))
+    with pytest.raises(NotImplementedError):
+        v2_config(tensor_parallel_axis="model")
+    with pytest.raises(NotImplementedError):
+        v2_config(ssm_cfg=SSMConfig(version=3))
