@@ -153,11 +153,16 @@ class CaduceusConfig:
                     f"nheads {self.d_inner // s.headdim} not divisible by "
                     f"ngroups {s.ngroups}"
                 )
-            if self.tensor_parallel_axis or self.context_parallel_axis:
+            if self.tensor_parallel_axis and self.context_parallel_axis:
                 raise NotImplementedError(
-                    "tensor/context parallelism is v1-only for now (the SSD "
-                    "op supports h_init/final-state chaining; wiring the "
-                    "shard_map paths for v2 is future work)"
+                    "version=2 supports tensor_parallel_axis OR "
+                    "context_parallel_axis, not both at once"
+                )
+            if self.tensor_parallel_axis and s.ngroups != 1:
+                raise NotImplementedError(
+                    "version=2 tensor parallelism shards heads and "
+                    "replicates B/C, which requires ngroups=1 (the mamba-ssm "
+                    "2.x default)"
                 )
 
     # -- derived quantities ------------------------------------------------

@@ -5,12 +5,16 @@ TPU-native equivalent of the reference's inference-cache path — mamba-ssm's
 `caduceus/modeling_rcps.py:201-206`) and the generation entry point on
 `src/models/sequence/long_conv_lm.py:391-493`.
 
-The cache per layer is
+The cache per layer is, for version=1 (selective scan):
   conv: (B, d_conv, d_inner)  — ring buffer of the last d_conv conv inputs
                                  (newest at index d_conv-1, matching
                                  ``ops/conv.py`` tap layout w[K-1] = current)
   ssm:  (B, d_inner, d_state) — the recurrence state, kept in fp32 (the
                                  reference CUDA kernel reads state fp32)
+and for version=2 (Mamba-2 / SSD, `ops/ssd.py` — beyond the reference,
+which pins mamba-ssm 1.2.0):
+  conv: (B, d_conv, d_inner + 2·NG·N) — ring buffer over the pre-conv xBC
+  ssm:  (B, H, N, P) fp32            — per-head state (``ssd_step`` layout)
 
 Generation is defined for causal models only (``bidirectional=False``,
 ``rcps=False``) — the reference likewise only generates through the
@@ -47,10 +51,18 @@ def init_cache(cfg: CaduceusConfig, batch_size: int) -> Cache:
     s = cfg.ssm_cfg
     d_inner = cfg.d_inner
     dirs = ["fwd", "rev"] if cfg.bidirectional else ["fwd"]
+    if s.version == 2:
+        d_conv_dim = d_inner + 2 * s.ngroups * s.d_state
+        ssm_shape = (batch_size, cfg.nheads, s.d_state, s.headdim)
+    else:
+        d_conv_dim = d_inner
+        ssm_shape = (batch_size, d_inner, s.d_state)
     layer = {
         d: {
-            "conv": jnp.zeros((batch_size, s.d_conv, d_inner), jnp.dtype(cfg.dtype)),
-            "ssm": jnp.zeros((batch_size, d_inner, s.d_state), jnp.float32),
+            "conv": jnp.zeros(
+                (batch_size, s.d_conv, d_conv_dim), jnp.dtype(cfg.dtype)
+            ),
+            "ssm": jnp.zeros(ssm_shape, jnp.float32),
         }
         for d in dirs
     }
@@ -95,6 +107,73 @@ def mamba_direction_step(
     return y.astype(xi_t.dtype), {"conv": conv, "ssm": ssm}
 
 
+def mamba2_direction_step(
+    dparams: Dict[str, Any],
+    cfg: CaduceusConfig,
+    xBC_t: jnp.ndarray,  # (B, d_inner + 2·NG·N) — pre-conv
+    dt_t: jnp.ndarray,  # (B, H) — raw dt channel of in_proj
+    cache: Cache,
+) -> Tuple[jnp.ndarray, Cache]:
+    """One step of the v2 (SSD) inner branch: conv → x/B/C split → ssd_step.
+
+    Matches ``ops/ssd.py`` ``_conv_silu_chunk`` + the scan step-for-step
+    (fp32 conv accumulation, fp32 state; mamba-ssm 2.x ``Mamba2.step``).
+    """
+    s = cfg.ssm_cfg
+    H, P, NG, N = cfg.nheads, s.headdim, s.ngroups, s.d_state
+    B = xBC_t.shape[0]
+    conv_w = dparams["conv_w"].astype(xBC_t.dtype)  # (K, d_conv_dim)
+    conv = jnp.concatenate([cache["conv"][:, 1:], xBC_t[:, None, :]], axis=1)
+    xc = jnp.sum(
+        conv.astype(jnp.float32) * conv_w.astype(jnp.float32)[None], axis=1
+    )
+    if "conv_b" in dparams:
+        xc = xc + dparams["conv_b"].astype(jnp.float32)
+    xc = jax.nn.silu(xc)  # (B, d_conv_dim) fp32
+
+    x_t = xc[:, : H * P].reshape(B, H, P)
+    B_t = xc[:, H * P: H * P + NG * N].reshape(B, NG, N)
+    C_t = xc[:, H * P + NG * N:].reshape(B, NG, N)
+
+    from caduceus_tpu.ops.ssd import ssd_step
+
+    ssm, y = ssd_step(
+        cache["ssm"], x_t, dt_t.astype(jnp.float32),
+        -jnp.exp(dparams["A_log"].astype(jnp.float32)), B_t, C_t,
+        D=dparams["D"], dt_bias=dparams["dt_bias"], dt_softplus=True,
+    )
+    return y.reshape(B, cfg.d_inner).astype(xBC_t.dtype), {
+        "conv": conv.astype(cache["conv"].dtype), "ssm": ssm
+    }
+
+
+def mamba2_step(
+    mparams: Dict[str, Any],
+    cfg: CaduceusConfig,
+    x_t: jnp.ndarray,  # (B, d_model)
+    cache: Cache,
+) -> Tuple[jnp.ndarray, Cache]:
+    """One v2 (Mamba-2) mixer step: in_proj → conv/SSD step → gated norm →
+    out_proj (``models/mamba2.py`` ``Mamba2Mixer`` column-for-column)."""
+    from caduceus_tpu.models.mamba2 import rms_norm_gated
+
+    sub = mparams["mamba_fwd"]
+    s = cfg.ssm_cfg
+    zxbcdt = x_t @ sub["in_proj"]["kernel"].astype(x_t.dtype)
+    if "bias" in sub["in_proj"]:
+        zxbcdt = zxbcdt + sub["in_proj"]["bias"].astype(zxbcdt.dtype)
+    d_xbc = cfg.d_inner + 2 * s.ngroups * s.d_state
+    z, xBC_t, dt_t = jnp.split(
+        zxbcdt, [cfg.d_inner, cfg.d_inner + d_xbc], axis=-1
+    )
+    y, new_fwd = mamba2_direction_step(sub["fwd"], cfg, xBC_t, dt_t, cache["fwd"])
+    y = rms_norm_gated(y, z, sub["norm_w"], s.ngroups, cfg.norm_epsilon)
+    out = y @ sub["out_proj"]["kernel"].astype(y.dtype)
+    if "bias" in sub["out_proj"]:
+        out = out + sub["out_proj"]["bias"].astype(out.dtype)
+    return out, {"fwd": new_fwd}
+
+
 def bimamba_step(
     mparams: Dict[str, Any],
     cfg: CaduceusConfig,
@@ -109,6 +188,8 @@ def bimamba_step(
             "generates only through unidirectional backbones, "
             "`src/models/sequence/long_conv_lm.py:391-493`)"
         )
+    if cfg.ssm_cfg.version == 2:
+        return mamba2_step(mparams, cfg, x_t, cache)
     sub = mparams["mamba_fwd"]
     xz = x_t @ sub["in_proj"]["kernel"].astype(x_t.dtype)
     if "bias" in sub["in_proj"]:

@@ -27,11 +27,14 @@ direction never materializes a flipped (G, L, ·) copy (`ops/ssd.py`
 ``reverse`` flips only transient per-chunk tensors).
 
 Parallelism scope: DP and the Megatron in/out-proj specs apply unchanged.
-``tensor_parallel_axis`` / ``context_parallel_axis`` are v1-only for now
-(the SSD op already takes h_init / returns final state, so the two-pass
-sequence-parallel construction of `parallel/seq_scan.py` ports directly —
-left as future work); a config with both version=2 and either axis set is
-rejected at construction.
+``context_parallel_axis`` routes the scan through the exact two-pass
+sequence-parallel SSD (`parallel/seq_scan.py sequence_parallel_ssd` — the
+shard boundary state is (H, N, P) with an analytic per-head decay);
+``tensor_parallel_axis`` shard_maps the scan over heads (requires
+ngroups=1 so B/C replicate). In both cases the depthwise conv + split run
+as global ops on the sharded activations (XLA inserts halos), i.e. the
+fused-conv working-set trick is single-chip-only. Setting both axes at once
+on a version=2 config is rejected at construction.
 """
 
 from __future__ import annotations
@@ -120,6 +123,9 @@ class _DirectionParamsV2(nn.Module):
         L = xBC_raw.shape[-2]
         x3 = xBC_raw.reshape((-1, L, xBC_raw.shape[-1]))
         G = x3.shape[0]
+        if c.context_parallel_axis or c.tensor_parallel_axis:
+            return self._sharded_ssd(x3, dt_raw.reshape(G, L, H), reverse,
+                                     lead)
         # fused-conv mode: the depthwise conv + SiLU + x/B/C split run
         # inside the scan's checkpointed chunk bodies, so the post-conv
         # (L, d_inner + 2·NG·N) tensor never materializes at full length
@@ -141,6 +147,72 @@ class _DirectionParamsV2(nn.Module):
                     else self.conv_b.astype(x3.dtype)),
             dims=(H, P, NG, N),
         )
+        return y.reshape(*lead, L, c.d_inner)
+
+    def _sharded_ssd(self, x3: jnp.ndarray, dt3: jnp.ndarray, reverse: bool,
+                     lead) -> jnp.ndarray:
+        """CP/TP path: conv + x/B/C split as global ops (XLA inserts the
+        halo exchange on L-sharded activations, exactly as the v1 `_cp_scan`
+        does), then the SSD runs sharded — two-pass sequence-parallel over
+        ``context_parallel_axis`` (`parallel/seq_scan.py
+        sequence_parallel_ssd`) or per-head shard_map over
+        ``tensor_parallel_axis`` (the scan is independent across heads once
+        B/C are replicated, which ngroups=1 guarantees)."""
+        from caduceus_tpu.ops.conv import causal_conv1d
+        from caduceus_tpu.parallel.mesh import get_global_mesh
+
+        c = self.cfg
+        s = c.ssm_cfg
+        H, P, NG, N = c.nheads, s.headdim, s.ngroups, s.d_state
+        G, L = x3.shape[0], x3.shape[1]
+        mesh = get_global_mesh()
+        assert mesh is not None, (
+            "tensor/context_parallel_axis is set but no mesh is registered — "
+            "call caduceus_tpu.parallel.mesh.set_global_mesh (or with_mesh)"
+        )
+        xc = causal_conv1d(
+            x3, self.conv_w.astype(x3.dtype),
+            None if self.conv_b is None else self.conv_b.astype(x3.dtype),
+            activation="silu", reverse=reverse,
+        )
+        xs = xc[..., : H * P].reshape(G, L, H, P)
+        Bm = xc[..., H * P: H * P + NG * N].reshape(G, L, NG, N)
+        Cm = xc[..., H * P + NG * N:].reshape(G, L, NG, N)
+        A = -jnp.exp(self.A_log)
+
+        if c.context_parallel_axis:
+            from caduceus_tpu.parallel.seq_scan import sequence_parallel_ssd
+
+            y = sequence_parallel_ssd(
+                xs, dt3, A, Bm, Cm, D=self.D, dt_bias=self.dt_bias,
+                dt_softplus=True, reverse=reverse, mesh=mesh,
+                axis=c.context_parallel_axis, chunk_size=s.ssd_chunk_size,
+                seg_chunks=s.ssd_seg_chunks,
+            )
+        else:
+            from jax.sharding import PartitionSpec as Pt
+
+            from caduceus_tpu.parallel.mesh import shard_map_compat
+
+            ax = c.tensor_parallel_axis
+            ntp = mesh.shape[ax]
+            assert H % ntp == 0, f"nheads {H} not divisible by TP axis {ntp}"
+
+            def call(x_, dt_, A_, D_, bias_, B_, C_):
+                return ssd_chunked(
+                    x_, dt_, A_, B_, C_, D=D_, dt_bias=bias_,
+                    dt_softplus=True, reverse=reverse,
+                    chunk_size=s.ssd_chunk_size, seg_chunks=s.ssd_seg_chunks,
+                )
+
+            h4 = Pt(None, None, ax, None)
+            h3 = Pt(None, None, ax)
+            n4 = Pt(None, None, None, None)
+            y = shard_map_compat(
+                call, mesh,
+                in_specs=(h4, h3, Pt(ax), Pt(ax), Pt(ax), n4, n4),
+                out_specs=h4,
+            )(xs, dt3, A, self.D, self.dt_bias, Bm, Cm)
         return y.reshape(*lead, L, c.d_inner)
 
 

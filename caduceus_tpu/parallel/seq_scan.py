@@ -161,3 +161,84 @@ def sequence_parallel_scan(
         out_specs=seq_spec,
     )
     return fn(u, delta, B_mat, C, z_in)
+
+
+def sequence_parallel_ssd(
+    x: jnp.ndarray,      # (G, L, H, P) — L sharded over `axis`
+    dt: jnp.ndarray,     # (G, L, H)
+    A: jnp.ndarray,      # (H,) replicated, negative
+    B_mat: jnp.ndarray,  # (G, L, NG, N)
+    C: jnp.ndarray,      # (G, L, NG, N)
+    D: Optional[jnp.ndarray] = None,
+    dt_bias: Optional[jnp.ndarray] = None,
+    dt_softplus: bool = False,
+    reverse: bool = False,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    chunk_size: int = 256,
+    seg_chunks: int = 8,
+) -> jnp.ndarray:
+    """Exact Mamba-2 (SSD) scan with the sequence axis sharded over `axis`.
+
+    The same two-pass construction as :func:`sequence_parallel_scan`, on the
+    v2 recurrence (`ops/ssd.py`): the shard's total decay is analytic and
+    *per head* — ``exp(A[h] · Σ_t dt[t,h])`` broadcast over (N, P) — so the
+    boundary exchange moves one (G, H) decay plus the (G, H, N, P) shard
+    state per shard. Both local passes run the MXU-chunked dual form.
+    """
+    from caduceus_tpu.ops.ssd import _resolve_dt, ssd_chunked
+
+    n_s = mesh.shape[axis]
+    G, L, H, P_hd = x.shape
+    assert L % n_s == 0, f"L={L} not divisible by mesh axis {axis}={n_s}"
+    N = B_mat.shape[-1]
+
+    seq4 = P(None, axis, None, None)
+    seq3 = P(None, axis, None)
+
+    def _varying(t):
+        if hasattr(lax, "pcast"):
+            return lax.pcast(t, (axis,), to="varying")
+        if hasattr(lax, "pvary"):
+            return lax.pvary(t, (axis,))
+        return t
+
+    def local(x_l, dt_l, B_l, C_l):
+        idx = lax.axis_index(axis)
+        zero_h = _varying(jnp.zeros((G, H, N, P_hd), jnp.float32))
+
+        # pass 1: local scan from zero state — only the final state is used
+        y0, b_s = ssd_chunked(
+            x_l, dt_l, A, B_l, C_l, D=None, dt_bias=dt_bias,
+            dt_softplus=dt_softplus, reverse=reverse, chunk_size=chunk_size,
+            seg_chunks=seg_chunks, h_init=zero_h, return_final_state=True,
+        )
+        del y0
+
+        # analytic per-head total decay of this shard: exp(A_h · Σ_t dt)
+        dsum = jnp.sum(_resolve_dt(dt_l, dt_bias, dt_softplus), axis=1)  # (G,H)
+        A_prod = jnp.exp(dsum * A.astype(jnp.float32)[None])[..., None, None]
+
+        a_all = lax.all_gather(A_prod, axis)  # (n_s, G, H, 1, 1)
+        b_all = lax.all_gather(b_s, axis)     # (n_s, G, H, N, P)
+        order = range(n_s - 1, -1, -1) if reverse else range(n_s)
+        h_run = jnp.zeros_like(b_s)
+        my_h0 = jnp.zeros_like(b_s)
+        for s in order:
+            my_h0 = jnp.where(idx == s, h_run, my_h0)
+            h_run = a_all[s] * h_run + b_all[s]
+
+        # pass 2: exact local scan with the true incoming state
+        return ssd_chunked(
+            x_l, dt_l, A, B_l, C_l, D=D, dt_bias=dt_bias,
+            dt_softplus=dt_softplus, reverse=reverse, chunk_size=chunk_size,
+            seg_chunks=seg_chunks, h_init=my_h0,
+        )
+
+    from caduceus_tpu.parallel.mesh import shard_map_compat
+
+    fn = shard_map_compat(
+        local, mesh, in_specs=(seq4, seq3, seq4, seq4), out_specs=seq4
+    )
+    return fn(x, dt, B_mat, C)

@@ -20,6 +20,7 @@ def _causal_cfg(**kw):
     tok = CaduceusTokenizer()
     kw.setdefault("d_model", 32)
     kw.setdefault("n_layer", 2)
+    kw.setdefault("ssm_cfg", SSMConfig(use_kernel="xla"))
     return CaduceusConfig(
         vocab_size=tok.vocab_size,
         bidirectional=False,
@@ -27,7 +28,6 @@ def _causal_cfg(**kw):
         complement_map=tok.complement_map,
         dtype="float32",
         param_dtype="float32",
-        ssm_cfg=SSMConfig(use_kernel="xla"),
         **kw,
     )
 
@@ -98,6 +98,48 @@ def test_generate_sampling_respects_top_k():
     out = generate(params, cfg, ids, 5, rng=jax.random.PRNGKey(7),
                    temperature=1.0, top_k=3)
     assert out.shape == (1, 9)
+
+
+def test_v2_step_matches_full_scan():
+    # Mamba-2 (SSD) stepwise path vs the chunked dual-form forward
+    cfg = _causal_cfg(
+        ssm_cfg=SSMConfig(version=2, d_state=16, headdim=8, ssd_chunk_size=8)
+    )
+    model = CaduceusForMaskedLM(cfg)
+    B, L = 2, 40
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, L), 7, 11)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    full_logits = model.apply(params, ids)
+
+    caches = init_cache(cfg, B)
+    step = jax.jit(lambda tok, c: lm_step(params, cfg, tok, c))
+    outs = []
+    for t in range(L):
+        logits_t, caches = step(ids[:, t], caches)
+        outs.append(logits_t)
+    step_logits = jnp.stack(outs, axis=1)
+
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full_logits), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_v2_generate_greedy_matches_full_forward():
+    cfg = _causal_cfg(
+        n_layer=1,
+        ssm_cfg=SSMConfig(version=2, d_state=8, headdim=8, ssd_chunk_size=4),
+    )
+    model = CaduceusForMaskedLM(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 7, 11)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    out = generate(params, cfg, ids, max_new_tokens=6)
+    assert out.shape == (2, 14)
+    full = model.apply(params, out[:, :-1])
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(full[:, 7:], axis=-1)), np.asarray(out[:, 8:])
+    )
 
 
 def test_generate_rejects_bidirectional():

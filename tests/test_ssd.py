@@ -234,6 +234,115 @@ def test_v2_config_validation():
     with pytest.raises(ValueError):
         v2_config(ssm_cfg=SSMConfig(version=2, headdim=7))
     with pytest.raises(NotImplementedError):
-        v2_config(tensor_parallel_axis="model")
+        v2_config(tensor_parallel_axis="model", context_parallel_axis="data")
+    with pytest.raises(NotImplementedError):
+        v2_config(tensor_parallel_axis="model",
+                  ssm_cfg=SSMConfig(version=2, headdim=8, ngroups=2))
     with pytest.raises(NotImplementedError):
         v2_config(ssm_cfg=SSMConfig(version=3))
+
+
+# ---------------------------------------------------------------------------
+# v2 parallelism: sequence-parallel SSD (CP) and per-head shard_map (TP)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def mesh8():
+    from caduceus_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8
+    return make_mesh(jax.devices()[:8])
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_sequence_parallel_ssd_matches_full(mesh8, reverse):
+    from caduceus_tpu.parallel.seq_scan import sequence_parallel_ssd
+
+    x, dt, A, B, C, D, bias = make_inputs(L=128)
+    got = sequence_parallel_ssd(
+        x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=True, reverse=reverse,
+        mesh=mesh8, axis="data", chunk_size=8,
+    )
+    want = ssd_chunked(x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=True,
+                       reverse=reverse, chunk_size=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_v2_model_context_parallel(mesh8):
+    """context_parallel_axis on the v2 RCPS model: L-sharded forward and
+    backward match the unsharded model."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from caduceus_tpu.parallel.mesh import with_mesh
+
+    B, L = 2, 128
+    ids = np.random.default_rng(0).integers(7, 11, (B, L)).astype(np.int32)
+    plain = CaduceusForMaskedLM(v2_config())
+    params = plain.init(jax.random.PRNGKey(0), ids)
+    want = plain.apply(params, ids)
+
+    cp_model = CaduceusForMaskedLM(v2_config(context_parallel_axis="data"))
+    ids_sharded = jax.device_put(
+        jnp.asarray(ids), NamedSharding(mesh8, P(None, "data"))
+    )
+    with with_mesh(mesh8):
+        got = jax.jit(cp_model.apply)(params, ids_sharded)
+
+        def loss(p, x):
+            return jnp.sum(jnp.square(cp_model.apply(p, x).astype(jnp.float32)))
+
+        g_cp = jax.jit(jax.grad(loss))(params, ids_sharded)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+    def loss_plain(p, x):
+        return jnp.sum(jnp.square(plain.apply(p, x).astype(jnp.float32)))
+
+    g_ref = jax.jit(jax.grad(loss_plain))(params, jnp.asarray(ids))
+    for a, b in zip(jax.tree_util.tree_leaves(g_cp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=5e-4)
+
+
+def test_v2_tp_step_matches_dp_step():
+    """tensor_parallel_axis on the v2 model: the SSD runs per-head-shard
+    under shard_map; (data=4, model=2) step numerics match single-device."""
+    import optax
+
+    from caduceus_tpu.parallel.mesh import make_mesh, shard_batch, with_mesh
+    from caduceus_tpu.parallel.sharding import shard_params
+    from caduceus_tpu.train.trainer import TrainState, make_train_step
+
+    assert jax.device_count() >= 8
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": rng.integers(7, 11, (4, 32), dtype=np.int32),
+        "targets": rng.integers(7, 11, (4, 32), dtype=np.int32),
+    }
+    ref_model = CaduceusForMaskedLM(v2_config())
+    params = ref_model.init(jax.random.PRNGKey(0), batch["input_ids"][:1])
+    tx = optax.adam(1e-3)
+
+    s_1 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_ref = jax.jit(make_train_step(ref_model.apply, tx))
+    s_1, m_1 = step_ref(s_1, batch)
+
+    mesh = make_mesh(jax.devices()[:8], model=2)
+    tp_model = CaduceusForMaskedLM(v2_config(tensor_parallel_axis="model"))
+    with with_mesh(mesh):
+        p_tp = shard_params(mesh, params)
+        s_tp = TrainState(p_tp, jax.jit(tx.init)(p_tp),
+                          jnp.zeros((), jnp.int32))
+        step_tp = jax.jit(make_train_step(tp_model.apply, tx))
+        s_tp, m_tp = step_tp(s_tp, shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_tp.params),
+                    jax.tree_util.tree_leaves(s_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
