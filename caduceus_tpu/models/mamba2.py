@@ -126,7 +126,35 @@ class _DirectionParamsV2(nn.Module):
         if c.context_parallel_axis or c.tensor_parallel_axis:
             return self._sharded_ssd(x3, dt_raw.reshape(G, L, H), reverse,
                                      lead)
-        # fused-conv mode: the depthwise conv + SiLU + x/B/C split run
+        kernel = self._resolved_kernel()
+        if kernel.startswith("pallas"):
+            # Pallas path: the (T, T) chunk tiles live in VMEM
+            # (`ops/ssd_pallas.py`); the conv runs as a global XLA op
+            # (transient under remat spans)
+            from caduceus_tpu.ops.conv import causal_conv1d
+            from caduceus_tpu.ops.ssd_pallas import ssd_pallas
+
+            xc = causal_conv1d(
+                x3, self.conv_w.astype(x3.dtype),
+                None if self.conv_b is None else self.conv_b.astype(x3.dtype),
+                activation="silu", reverse=reverse,
+            )
+            y = ssd_pallas(
+                xc[..., : H * P].reshape(G, L, H, P),
+                dt_raw.reshape(G, L, H),
+                -jnp.exp(self.A_log),
+                xc[..., H * P: H * P + NG * N].reshape(G, L, NG, N),
+                xc[..., H * P + NG * N:].reshape(G, L, NG, N),
+                D=self.D,
+                dt_bias=self.dt_bias,
+                dt_softplus=True,
+                reverse=reverse,
+                chunk_size=s.ssd_chunk_size,
+                interpret=kernel == "pallas_interpret",
+                seg_chunks=s.ssd_seg_chunks,
+            )
+            return y.reshape(*lead, L, c.d_inner)
+        # XLA fused-conv mode: the depthwise conv + SiLU + x/B/C split run
         # inside the scan's checkpointed chunk bodies, so the post-conv
         # (L, d_inner + 2·NG·N) tensor never materializes at full length
         # (required to fit 131k training in 16 GB HBM)
@@ -148,6 +176,12 @@ class _DirectionParamsV2(nn.Module):
             dims=(H, P, NG, N),
         )
         return y.reshape(*lead, L, c.d_inner)
+
+    def _resolved_kernel(self) -> str:
+        use_kernel = self.cfg.ssm_cfg.use_kernel
+        if use_kernel == "auto":
+            use_kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
+        return use_kernel
 
     def _sharded_ssd(self, x3: jnp.ndarray, dt3: jnp.ndarray, reverse: bool,
                      lead) -> jnp.ndarray:
