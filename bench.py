@@ -79,7 +79,9 @@ def main():
             version=2,
             d_state=int(os.environ.get("BENCH_D_STATE", 128)),
             ssd_chunk_size=int(os.environ.get("BENCH_SSD_CHUNK", 256)),
-            ssd_seg_chunks=int(os.environ.get("BENCH_SSD_SEG", 8)),
+            # seg=8 exceeds the 16 MB scoped-VMEM limit in the Pallas bwd
+            # kernel at the headline geometry (measured r3); 4 fits
+            ssd_seg_chunks=int(os.environ.get("BENCH_SSD_SEG", 4)),
         )
     else:
         ssm_cfg = SSMConfig(use_kernel=kernel)

@@ -25,6 +25,7 @@ construction and is verified by the ported property suite
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -46,41 +47,64 @@ def rc_hidden(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.flip(x, axis=(-2, -1))
 
 
+def swap_rc(t: jnp.ndarray) -> jnp.ndarray:
+    """The fused-frame involution in canonical-strand coordinates:
+    exchange strand rows, reverse (L, d)."""
+    half = t.shape[0] // 2
+    t = jnp.concatenate([t[half:], t[:half]], axis=0)
+    return jnp.flip(t, axis=(-2, -1))
+
+
 class CaduceusBlock(nn.Module):
     """Prenorm residual block: (add → norm) → BiMamba.
 
     Matches the mamba `Block` contract (`modeling_caduceus.py:182-186`):
     returns (mixer_out, residual) where residual = x + prev_residual.
+
+    ``frame``: the reference FUSED RCPS block frame
+    (`modeling_rcps.py:165-200`): the fused path feeds the SECOND channel
+    half unflipped and the flipped FIRST half to the shared add+norm — i.e.
+    it swaps the halves at every block relative to the non-fused
+    RCPSAddNormWrapper. The two frames are different functions of the same
+    weights (both RC-equivariant); released checkpoints are trained fused,
+    so this is the checkpoint-parity default
+    (tests/test_reference_torch_parity.py runs the reference's own torch
+    code to pin both frames down). In canonical-strand coordinates the swap
+    is `swap_rc`: exchange strand rows, reverse (L, d). Two realizations:
+
+    - ``frame="data"``: apply `swap_rc` to x and residual — two full HBM
+      round trips of the (2B, L, d) residual stream per block (~9% of the
+      131k step).
+    - ``frame="conj"``: fold the involution into the parameters. Since
+      swap_rc is an involution F and blocks compose, y_{k+1} =
+      F^{k+1}(Block_k(F^{k+1} y_k, ...)) — every other block runs
+      F-conjugated, the rest run plain ("none"). Conjugation by F is exact
+      parameter algebra: the strand swap cancels through batch-elementwise
+      ops; the L-reversal swaps each (projection, direction-params) pair's
+      traversal direction (the scans already walk reversed indices for
+      free); the d-reversal flips the norm weights and the d_model-facing
+      kernel rows/cols (`models/mamba.py FrameDense`). Zero data movement;
+      one final `swap_rc` remains iff n_layer is odd.
     """
 
     cfg: CaduceusConfig
     scan_chunk_size: int = 256
+    frame: str = "none"  # "none" | "data" | "conj"
 
     @nn.compact
     def __call__(self, x, residual=None):
         c = self.cfg
+        conj = self.frame == "conj"
         weight = self.param("norm_w", nn.initializers.ones, (c.d_model,), jnp.float32)
         bias = (
             None
             if c.rms_norm
             else self.param("norm_b", nn.initializers.zeros, (c.d_model,), jnp.float32)
         )
-        if c.rcps and c.fused_add_norm:
-            # Reference FUSED RCPS block frame (`modeling_rcps.py:165-200`):
-            # the fused path feeds the SECOND channel half unflipped and the
-            # flipped FIRST half to the shared add+norm — i.e. it swaps the
-            # halves at every block relative to the non-fused
-            # RCPSAddNormWrapper. The two frames are different functions of
-            # the same weights (both RC-equivariant); released checkpoints
-            # are trained fused, so this is the checkpoint-parity default
-            # (tests/test_reference_torch_parity.py runs the reference's own
-            # torch code to pin both frames down). In canonical-strand
-            # coordinates the swap is: exchange strand rows, reverse (L, d).
-            def swap_rc(t):
-                half = t.shape[0] // 2
-                t = jnp.concatenate([t[half:], t[:half]], axis=0)
-                return jnp.flip(t, axis=(-2, -1))
-
+        if conj:
+            weight = weight[::-1]
+            bias = None if bias is None else bias[::-1]
+        if self.frame == "data":
             x = swap_rc(x)
             residual = None if residual is None else swap_rc(residual)
         normed, residual = add_norm(
@@ -98,9 +122,9 @@ class CaduceusBlock(nn.Module):
             # (`models/mamba2.py`). Same (out, residual) block contract.
             from caduceus_tpu.models.mamba2 import BiMamba2
 
-            out = BiMamba2(c, name="mixer")(normed)
+            out = BiMamba2(c, conj, name="mixer")(normed)
         else:
-            out = BiMamba(c, self.scan_chunk_size, name="mixer")(normed)
+            out = BiMamba(c, self.scan_chunk_size, conj, name="mixer")(normed)
         return out, residual
 
 
@@ -160,8 +184,21 @@ class CaduceusBackbone(nn.Module):
             h = embed_table.astype(dtype)[ids.reshape(S * B, L)]  # (S*B, L, d)
 
         residual = None
+        # fused RCPS frame realization: "params" (default — conjugate every
+        # other block, zero data movement) or "data" (swap_rc per block);
+        # see CaduceusBlock. Identical functions; A/B via env.
+        fused = c.rcps and c.fused_add_norm
+        impl = os.environ.get("CADUCEUS_FUSED_FRAME_IMPL", "params")
+        if not fused:
+            frames = ["none"] * c.n_layer
+        elif impl == "data":
+            frames = ["data"] * c.n_layer
+        else:
+            frames = ["conj" if i % 2 == 0 else "none"
+                      for i in range(c.n_layer)]
         blocks = [
-            CaduceusBlock(c, self.scan_chunk_size, name=f"layers_{i}")
+            CaduceusBlock(c, self.scan_chunk_size, frames[i],
+                          name=f"layers_{i}")
             for i in range(c.n_layer)
         ]
         if c.remat:
@@ -206,6 +243,10 @@ class CaduceusBackbone(nn.Module):
             else self.param("norm_f_b", nn.initializers.zeros, (c.d_model,), jnp.float32)
         )
         final = (h if residual is None else residual + h.astype(residual.dtype))
+        if fused and impl != "data" and c.n_layer % 2 == 1:
+            # under the conjugated frame the physical state is F^n(y_n);
+            # odd n_layer leaves one residual involution to apply
+            final = swap_rc(final)
         if c.residual_in_fp32:
             final = final.astype(jnp.float32)
         if c.rms_norm:

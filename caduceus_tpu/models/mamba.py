@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -90,6 +90,51 @@ def a_log_init(d_state: int):
         return jnp.log(a).astype(dtype)
 
     return init
+
+
+class FrameDense(nn.Module):
+    """``nn.Dense``-compatible dense layer (identical param tree:
+    kernel/bias) with optional *static* flips of the kernel's input rows /
+    output columns (and the bias, with the output).
+
+    This is the zero-cost parameter-side realization of the reference's
+    fused RCPS block frame (`modeling_rcps.py:174-197`): conjugating a block
+    by the strand-swap + (L, d)-reversal involution moves the d_model-channel
+    reversal off the (B, L, d) activations — 2 HBM round trips of the
+    residual stream per block — and onto the (d, ·) projection kernels,
+    where a flip is O(d²) and folds into the matmul. See
+    `models/caduceus.py CaduceusBlock` for the derivation.
+    """
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    param_dtype: Any = jnp.float32
+    dtype: Any = None
+    flip_in: bool = False
+    flip_out: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dtype = x.dtype if self.dtype is None else jnp.dtype(self.dtype)
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features),
+            jnp.dtype(self.param_dtype),
+        )
+        if self.flip_in:
+            kernel = kernel[::-1]
+        if self.flip_out:
+            kernel = kernel[:, ::-1]
+        y = x.astype(dtype) @ kernel.astype(dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                jnp.dtype(self.param_dtype),
+            )
+            if self.flip_out:
+                bias = bias[::-1]
+            y = y + bias.astype(dtype)
+        return y
 
 
 # ---------------------------------------------------------------------------
@@ -318,6 +363,7 @@ class MambaMixer(nn.Module):
 
     cfg: CaduceusConfig
     scan_chunk_size: int = 256
+    frame_conjugate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -325,16 +371,18 @@ class MambaMixer(nn.Module):
         d_inner = c.d_inner
         dtype = jnp.dtype(c.dtype)
         x = x.astype(dtype)
+        conj = self.frame_conjugate
 
-        in_proj = nn.Dense(
+        in_proj = FrameDense(
             2 * d_inner,
             use_bias=c.ssm_cfg.bias,
             kernel_init=torch_linear_init(c.d_model),
             param_dtype=jnp.dtype(c.param_dtype),
             dtype=dtype,
+            flip_in=conj,
             name="in_proj",
         )
-        out_proj = nn.Dense(
+        out_proj = FrameDense(
             c.d_model,
             use_bias=c.ssm_cfg.bias,
             kernel_init=torch_linear_init(
@@ -342,15 +390,16 @@ class MambaMixer(nn.Module):
             ),
             param_dtype=jnp.dtype(c.param_dtype),
             dtype=dtype,
+            flip_out=conj,
             name="out_proj",
         )
         xz = in_proj(x)
         xi, z = jnp.split(xz, 2, axis=-1)
         direction = _DirectionParams(c, name="fwd")
         if c.context_parallel_axis:
-            y = _cp_scan(direction, c, xi, reverse=False)
+            y = _cp_scan(direction, c, xi, reverse=conj)
         else:
-            y = direction(xi, reverse=False, chunk_size=self.scan_chunk_size)
+            y = direction(xi, reverse=conj, chunk_size=self.scan_chunk_size)
         y = y * jax.nn.silu(z)
         return out_proj(y)
 
@@ -376,12 +425,15 @@ class BiMamba(nn.Module):
 
     cfg: CaduceusConfig
     scan_chunk_size: int = 256
+    frame_conjugate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
+        conj = self.frame_conjugate
         if not c.bidirectional:
-            return MambaMixer(c, self.scan_chunk_size, name="mamba_fwd")(x)
+            return MambaMixer(c, self.scan_chunk_size, conj,
+                              name="mamba_fwd")(x)
 
         d_inner = c.d_inner
         dtype = jnp.dtype(c.dtype)
@@ -389,20 +441,29 @@ class BiMamba(nn.Module):
         x = x.astype(dtype)
         tied = c.bidirectional_weight_tie
         strategy = c.bidirectional_strategy
+        # frame conjugation (see CaduceusBlock): the (L, d_model)-reversal
+        # halves land on the projections (FrameDense flips) and the
+        # L-reversal on the scans — each (projection, direction-params) pair
+        # keeps its pairing but traverses the sequence the other way.
+        rev_f = conj          # traversal direction of the fwd param set
+        rev_r = not conj      # traversal direction of the rev param set
 
-        def dense(feats, fan_in, scale, name):
-            return nn.Dense(
+        def dense(feats, fan_in, scale, name, flip_in=False, flip_out=False):
+            return FrameDense(
                 feats,
                 use_bias=c.ssm_cfg.bias,
                 kernel_init=torch_linear_init(fan_in, scale=scale),
                 param_dtype=pdt,
                 dtype=dtype,
+                flip_in=flip_in,
+                flip_out=flip_out,
                 name=name,
             )
 
         rescale = _residual_rescale(c)
-        in_proj = dense(2 * d_inner, c.d_model, 1.0, "in_proj")
-        out_proj = dense(c.d_model, d_inner, rescale, "out_proj")
+        in_proj = dense(2 * d_inner, c.d_model, 1.0, "in_proj", flip_in=conj)
+        out_proj = dense(c.d_model, d_inner, rescale, "out_proj",
+                         flip_out=conj)
 
         fwd = _DirectionParams(c, name="fwd")
         rev = _DirectionParams(c, name="rev")
@@ -411,16 +472,18 @@ class BiMamba(nn.Module):
             """Run both directional inner scans; uses the paired-direction
             Pallas kernel (single launch, double VPU width) when on TPU."""
             if c.context_parallel_axis:
-                return (_cp_scan(fwd, c, xi_f, reverse=False),
-                        _cp_scan(rev, c, xi_r, reverse=True))
+                return (_cp_scan(fwd, c, xi_f, reverse=rev_f),
+                        _cp_scan(rev, c, xi_r, reverse=rev_r))
             kernel = fwd._resolved_kernel()
             if kernel.startswith("pallas"):
                 from caduceus_tpu.ops.scan_pallas_bidir import (
                     bidir_selective_scan_pallas,
                 )
 
-                xc_f, draw_f, B_f, C_f, lead = fwd.projections(xi_f, reverse=False)
-                xc_r, draw_r, B_r, C_r, _ = rev.projections(xi_r, reverse=True)
+                xc_f, draw_f, B_f, C_f, lead = fwd.projections(
+                    xi_f, reverse=rev_f)
+                xc_r, draw_r, B_r, C_r, _ = rev.projections(
+                    xi_r, reverse=rev_r)
                 interp = kernel == "pallas_interpret"
 
                 def call(uf, df, Bf, Cf, ur, dr, Br, Cr, Af, Ar, Df, Dr,
@@ -430,12 +493,23 @@ class BiMamba(nn.Module):
                         bf, br, True, _SCAN_CHUNK, _SCAN_GB, interp,
                     )
 
-                args = (
-                    xc_f, draw_f, B_f, C_f, xc_r, draw_r, B_r, C_r,
-                    -jnp.exp(fwd.A_log.astype(jnp.float32)),
-                    -jnp.exp(rev.A_log.astype(jnp.float32)),
-                    fwd.D, rev.D, fwd.dt_proj_b, rev.dt_proj_b,
-                )
+                # the paired kernel scans set 1 forward and set 2 reversed;
+                # under conjugation the fwd param set traverses reversed, so
+                # the sets swap slots (and the outputs swap back)
+                if conj:
+                    args = (
+                        xc_r, draw_r, B_r, C_r, xc_f, draw_f, B_f, C_f,
+                        -jnp.exp(rev.A_log.astype(jnp.float32)),
+                        -jnp.exp(fwd.A_log.astype(jnp.float32)),
+                        rev.D, fwd.D, rev.dt_proj_b, fwd.dt_proj_b,
+                    )
+                else:
+                    args = (
+                        xc_f, draw_f, B_f, C_f, xc_r, draw_r, B_r, C_r,
+                        -jnp.exp(fwd.A_log.astype(jnp.float32)),
+                        -jnp.exp(rev.A_log.astype(jnp.float32)),
+                        fwd.D, rev.D, fwd.dt_proj_b, rev.dt_proj_b,
+                    )
                 ax = c.tensor_parallel_axis
                 if ax:
                     # TP: per-shard kernel on the d_inner slice (see
@@ -452,11 +526,12 @@ class BiMamba(nn.Module):
                                   P(ax), P(ax), P(ax), P(ax)),
                         out_specs=(d3, d3),
                     )
-                y_f, y_r = call(*args)
+                y_1, y_2 = call(*args)
+                y_f, y_r = (y_2, y_1) if conj else (y_1, y_2)
                 L, di = xi_f.shape[-2], xi_f.shape[-1]
                 return (y_f.reshape(*lead, L, di), y_r.reshape(*lead, L, di))
-            y_f = fwd(xi_f, reverse=False, chunk_size=self.scan_chunk_size)
-            y_r = rev(xi_r, reverse=True, chunk_size=self.scan_chunk_size)
+            y_f = fwd(xi_f, reverse=rev_f, chunk_size=self.scan_chunk_size)
+            y_r = rev(xi_r, reverse=rev_r, chunk_size=self.scan_chunk_size)
             return y_f, y_r
 
         if tied:
@@ -470,8 +545,10 @@ class BiMamba(nn.Module):
             return out_proj(y_f * gate) * out_proj(y_r * gate)
 
         # untied: independent projections per direction
-        in_proj_rev = dense(2 * d_inner, c.d_model, 1.0, "in_proj_rev")
-        out_proj_rev = dense(c.d_model, d_inner, rescale, "out_proj_rev")
+        in_proj_rev = dense(2 * d_inner, c.d_model, 1.0, "in_proj_rev",
+                            flip_in=conj)
+        out_proj_rev = dense(c.d_model, d_inner, rescale, "out_proj_rev",
+                             flip_out=conj)
         xz_f = in_proj(x)
         xz_r = in_proj_rev(x)
         xi_f, z_f = jnp.split(xz_f, 2, axis=-1)

@@ -31,10 +31,18 @@ Parallelism scope: DP and the Megatron in/out-proj specs apply unchanged.
 sequence-parallel SSD (`parallel/seq_scan.py sequence_parallel_ssd` — the
 shard boundary state is (H, N, P) with an analytic per-head decay);
 ``tensor_parallel_axis`` shard_maps the scan over heads (requires
-ngroups=1 so B/C replicate). In both cases the depthwise conv + split run
-as global ops on the sharded activations (XLA inserts halos), i.e. the
-fused-conv working-set trick is single-chip-only. Setting both axes at once
-on a version=2 config is rejected at construction.
+ngroups=1 so B/C replicate). Both sharded paths honor ``use_kernel``:
+"pallas" runs the per-shard local scans through `ops/ssd_pallas.py`
+(whose chained VJP implements the h_init/g_hN boundary contract CP needs).
+In both cases the depthwise conv + split run as global ops on the sharded
+activations (XLA inserts halos), i.e. the fused-conv working-set trick is
+single-chip-only. Setting both axes at once on a version=2 config is
+rejected at construction.
+
+``use_kernel='auto'`` resolves to the Pallas kernels on TPU; they are
+gated on-device by `scripts/verify_tpu.py` (Mosaic-compiled fwd/bwd/chained
+parity vs the XLA form at production head geometry) in addition to the
+interpret-mode tests.
 """
 
 from __future__ import annotations
@@ -48,6 +56,7 @@ import jax.numpy as jnp
 
 from caduceus_tpu.config import CaduceusConfig
 from caduceus_tpu.models.mamba import (
+    FrameDense,
     _residual_rescale,
     dt_proj_bias_init,
     torch_linear_init,
@@ -213,6 +222,7 @@ class _DirectionParamsV2(nn.Module):
         Bm = xc[..., H * P: H * P + NG * N].reshape(G, L, NG, N)
         Cm = xc[..., H * P + NG * N:].reshape(G, L, NG, N)
         A = -jnp.exp(self.A_log)
+        kernel = self._resolved_kernel()
 
         if c.context_parallel_axis:
             from caduceus_tpu.parallel.seq_scan import sequence_parallel_ssd
@@ -221,7 +231,7 @@ class _DirectionParamsV2(nn.Module):
                 xs, dt3, A, Bm, Cm, D=self.D, dt_bias=self.dt_bias,
                 dt_softplus=True, reverse=reverse, mesh=mesh,
                 axis=c.context_parallel_axis, chunk_size=s.ssd_chunk_size,
-                seg_chunks=s.ssd_seg_chunks,
+                seg_chunks=s.ssd_seg_chunks, local_impl=kernel,
             )
         else:
             from jax.sharding import PartitionSpec as Pt
@@ -232,8 +242,17 @@ class _DirectionParamsV2(nn.Module):
             ntp = mesh.shape[ax]
             assert H % ntp == 0, f"nheads {H} not divisible by TP axis {ntp}"
 
+            if kernel.startswith("pallas"):
+                from caduceus_tpu.ops.ssd_pallas import ssd_pallas as _ssd
+                import functools as _ft
+
+                _ssd = _ft.partial(
+                    _ssd, interpret=kernel == "pallas_interpret")
+            else:
+                _ssd = ssd_chunked
+
             def call(x_, dt_, A_, D_, bias_, B_, C_):
-                return ssd_chunked(
+                return _ssd(
                     x_, dt_, A_, B_, C_, D=D_, dt_bias=bias_,
                     dt_softplus=True, reverse=reverse,
                     chunk_size=s.ssd_chunk_size, seg_chunks=s.ssd_seg_chunks,
@@ -260,6 +279,7 @@ class Mamba2Mixer(nn.Module):
     """Unidirectional Mamba-2 mixer (mamba-ssm 2.x ``Mamba2`` semantics)."""
 
     cfg: CaduceusConfig
+    frame_conjugate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -268,20 +288,21 @@ class Mamba2Mixer(nn.Module):
         dtype = jnp.dtype(c.dtype)
         pdt = jnp.dtype(c.param_dtype)
         x = x.astype(dtype)
+        conj = self.frame_conjugate
         d_in_proj = 2 * c.d_inner + 2 * s.ngroups * s.d_state + c.nheads
-        in_proj = nn.Dense(
+        in_proj = FrameDense(
             d_in_proj, use_bias=s.bias,
             kernel_init=torch_linear_init(c.d_model),
-            param_dtype=pdt, dtype=dtype, name="in_proj",
+            param_dtype=pdt, dtype=dtype, flip_in=conj, name="in_proj",
         )
-        out_proj = nn.Dense(
+        out_proj = FrameDense(
             c.d_model, use_bias=s.bias,
             kernel_init=torch_linear_init(c.d_inner, scale=_residual_rescale(c)),
-            param_dtype=pdt, dtype=dtype, name="out_proj",
+            param_dtype=pdt, dtype=dtype, flip_out=conj, name="out_proj",
         )
         norm_w = self.param("norm_w", nn.initializers.ones, (c.d_inner,), pdt)
         z, xBC_raw, dt_raw = _split_zxbcdt(c, in_proj(x))
-        y = _DirectionParamsV2(c, name="fwd")(xBC_raw, dt_raw, reverse=False)
+        y = _DirectionParamsV2(c, name="fwd")(xBC_raw, dt_raw, reverse=conj)
         y = rms_norm_gated(y, z, norm_w, s.ngroups, c.norm_epsilon)
         return out_proj(y)
 
@@ -291,31 +312,39 @@ class BiMamba2(nn.Module):
     `BiMambaWrapper` capability surface on the v2 mixer)."""
 
     cfg: CaduceusConfig
+    frame_conjugate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
+        conj = self.frame_conjugate
         if not c.bidirectional:
-            return Mamba2Mixer(c, name="mamba_fwd")(x)
+            return Mamba2Mixer(c, conj, name="mamba_fwd")(x)
         s = c.ssm_cfg
         dtype = jnp.dtype(c.dtype)
         pdt = jnp.dtype(c.param_dtype)
         x = x.astype(dtype)
         tied = c.bidirectional_weight_tie
         strategy = c.bidirectional_strategy
+        # frame conjugation (see CaduceusBlock / models/mamba.py BiMamba):
+        # d_model-channel flips on the projections, direction swap on scans
+        rev_f = conj
+        rev_r = not conj
 
         d_in_proj = 2 * c.d_inner + 2 * s.ngroups * s.d_state + c.nheads
 
-        def dense(feats, fan_in, scale, name):
-            return nn.Dense(
+        def dense(feats, fan_in, scale, name, flip_in=False, flip_out=False):
+            return FrameDense(
                 feats, use_bias=s.bias,
                 kernel_init=torch_linear_init(fan_in, scale=scale),
-                param_dtype=pdt, dtype=dtype, name=name,
+                param_dtype=pdt, dtype=dtype,
+                flip_in=flip_in, flip_out=flip_out, name=name,
             )
 
         rescale = _residual_rescale(c)
-        in_proj = dense(d_in_proj, c.d_model, 1.0, "in_proj")
-        out_proj = dense(c.d_model, c.d_inner, rescale, "out_proj")
+        in_proj = dense(d_in_proj, c.d_model, 1.0, "in_proj", flip_in=conj)
+        out_proj = dense(c.d_model, c.d_inner, rescale, "out_proj",
+                         flip_out=conj)
         norm_w = self.param("norm_w", nn.initializers.ones, (c.d_inner,), pdt)
 
         fwd = _DirectionParamsV2(c, name="fwd")
@@ -326,8 +355,8 @@ class BiMamba2(nn.Module):
 
         if tied:
             z, xBC_raw, dt_raw = _split_zxbcdt(c, in_proj(x))
-            y_f = fwd(xBC_raw, dt_raw, reverse=False)
-            y_r = rev(xBC_raw, dt_raw, reverse=True)
+            y_f = fwd(xBC_raw, dt_raw, reverse=rev_f)
+            y_r = rev(xBC_raw, dt_raw, reverse=rev_r)
             if strategy == "add":
                 # directional scan outputs combine pre-gate (the v1
                 # fused-add contract): one gated norm, one out_proj
@@ -335,15 +364,17 @@ class BiMamba2(nn.Module):
             # ew_multiply with shared norm/out_proj weights
             return out_proj(gated(y_f, z)) * out_proj(gated(y_r, z))
 
-        in_proj_rev = dense(d_in_proj, c.d_model, 1.0, "in_proj_rev")
-        out_proj_rev = dense(c.d_model, c.d_inner, rescale, "out_proj_rev")
+        in_proj_rev = dense(d_in_proj, c.d_model, 1.0, "in_proj_rev",
+                            flip_in=conj)
+        out_proj_rev = dense(c.d_model, c.d_inner, rescale, "out_proj_rev",
+                             flip_out=conj)
         norm_w_rev = self.param(
             "norm_w_rev", nn.initializers.ones, (c.d_inner,), pdt
         )
         z_f, xBC_f, dt_f = _split_zxbcdt(c, in_proj(x))
         z_r, xBC_r, dt_r = _split_zxbcdt(c, in_proj_rev(x))
-        y_f = fwd(xBC_f, dt_f, reverse=False)
-        y_r = rev(xBC_r, dt_r, reverse=True)
+        y_f = fwd(xBC_f, dt_f, reverse=rev_f)
+        y_r = rev(xBC_r, dt_r, reverse=rev_r)
         o_f = out_proj(gated(y_f, z_f))
         o_r = out_proj_rev(
             rms_norm_gated(y_r, z_r, norm_w_rev, s.ngroups, c.norm_epsilon)

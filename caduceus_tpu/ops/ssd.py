@@ -305,14 +305,22 @@ def ssd_chunked(
         # (decay 1, drive 0): resolved dt must be 0 at pad positions; x/B/C
         # pad with zeros (drive = dt*B*x = 0 regardless, output sliced off).
         pad = ck_seg - L % ck_seg
-        dpad = -1e4 if dt_softplus else 0.0
         padded = []
         for i, t in enumerate(tensors):
-            cval = dpad if i == 1 else 0.0
-            padded.append(
-                jnp.pad(t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2),
-                        constant_values=cval)
-            )
+            if i == 1 and dt_softplus:
+                fill = jnp.full(
+                    (G, pad) + t.shape[2:], -1e4, t.dtype)
+            elif i == 1 and dt_bias is not None:
+                # resolved dt = raw + bias must be 0 at pad positions, so the
+                # raw pad value is -dt_bias (not 0 — a nonzero bias would
+                # otherwise leak decay/drive into the final state; the same
+                # policy as ops/ssd_pallas.py _pad_ssd)
+                fill = jnp.broadcast_to(
+                    -jnp.asarray(dt_bias, t.dtype).reshape(1, 1, H),
+                    (G, pad, H))
+            else:
+                fill = jnp.zeros((G, pad) + t.shape[2:], t.dtype)
+            padded.append(jnp.concatenate([t, fill], axis=1))
         tensors = padded
     Lp = tensors[0].shape[1]
     nseg = Lp // ck_seg

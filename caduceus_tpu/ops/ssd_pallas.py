@@ -56,10 +56,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# chunk-entry states saved for the backward pass: bf16 halves the HBM
-# footprint at the v1 kernel's precision class (grad parity gates are
-# scale-aware); set float32 for exact-to-oracle gradients.
-_CARRY_DTYPE = jnp.dtype(os.environ.get("CADUCEUS_SSD_CARRY_DTYPE", "bfloat16"))
+def _carry_dtype(x_dtype) -> jnp.dtype:
+    """Dtype of the chunk-entry states saved for the backward pass.
+
+    Follows the input dtype: bf16 inputs get bf16 carries (halving the HBM
+    footprint at the kernel's own precision class), while fp32 inputs keep
+    exact-to-oracle fp32 carries — a fully-fp32 run must not silently
+    quantize its adjoint boundary states. CADUCEUS_SSD_CARRY_DTYPE overrides
+    for experiments."""
+    env = os.environ.get("CADUCEUS_SSD_CARRY_DTYPE")
+    if env:
+        return jnp.dtype(env)
+    x_dtype = jnp.dtype(x_dtype)
+    return x_dtype if x_dtype == jnp.dtype(jnp.bfloat16) else jnp.dtype(
+        jnp.float32)
 
 
 def _cum_masks(T: int, reverse: bool):
@@ -250,7 +260,8 @@ def ssd_pallas_fwd_impl(
     if save_carries:
         # chunk-entry states, one (nci-slot) block per segment
         out_shape.append(
-            jax.ShapeDtypeStruct((G, nseg * nci, H * N, Pd), _CARRY_DTYPE))
+            jax.ShapeDtypeStruct((G, nseg * nci, H * N, Pd),
+                                 _carry_dtype(x.dtype)))
         out_specs.append(pl.BlockSpec(
             (1, nci, H * N, Pd),
             (lambda g, i: (g, nseg - 1 - i, 0, 0)) if reverse

@@ -178,6 +178,7 @@ def sequence_parallel_ssd(
     axis: str = "data",
     chunk_size: int = 256,
     seg_chunks: int = 8,
+    local_impl: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
 ) -> jnp.ndarray:
     """Exact Mamba-2 (SSD) scan with the sequence axis sharded over `axis`.
 
@@ -185,7 +186,10 @@ def sequence_parallel_ssd(
     v2 recurrence (`ops/ssd.py`): the shard's total decay is analytic and
     *per head* — ``exp(A[h] · Σ_t dt[t,h])`` broadcast over (N, P) — so the
     boundary exchange moves one (G, H) decay plus the (G, H, N, P) shard
-    state per shard. Both local passes run the MXU-chunked dual form.
+    state per shard. ``local_impl="pallas"`` runs both local passes through
+    the chained Pallas kernel (`ops/ssd_pallas.py ssd_pallas_chained` —
+    built for exactly this h_init/g_hN boundary contract); "xla" runs the
+    MXU-chunked dual form.
     """
     from caduceus_tpu.ops.ssd import _resolve_dt, ssd_chunked
 
@@ -204,12 +208,20 @@ def sequence_parallel_ssd(
             return lax.pvary(t, (axis,))
         return t
 
+    if local_impl.startswith("pallas"):
+        from caduceus_tpu.ops.ssd_pallas import ssd_pallas
+
+        local_scan = partial(ssd_pallas,
+                             interpret=local_impl == "pallas_interpret")
+    else:
+        local_scan = ssd_chunked
+
     def local(x_l, dt_l, B_l, C_l):
         idx = lax.axis_index(axis)
         zero_h = _varying(jnp.zeros((G, H, N, P_hd), jnp.float32))
 
         # pass 1: local scan from zero state — only the final state is used
-        y0, b_s = ssd_chunked(
+        y0, b_s = local_scan(
             x_l, dt_l, A, B_l, C_l, D=None, dt_bias=dt_bias,
             dt_softplus=dt_softplus, reverse=reverse, chunk_size=chunk_size,
             seg_chunks=seg_chunks, h_init=zero_h, return_final_state=True,
@@ -230,7 +242,7 @@ def sequence_parallel_ssd(
             h_run = a_all[s] * h_run + b_all[s]
 
         # pass 2: exact local scan with the true incoming state
-        return ssd_chunked(
+        return local_scan(
             x_l, dt_l, A, B_l, C_l, D=D, dt_bias=dt_bias,
             dt_softplus=dt_softplus, reverse=reverse, chunk_size=chunk_size,
             seg_chunks=seg_chunks, h_init=my_h0,

@@ -1,12 +1,15 @@
 """On-device numerics gate: real Mosaic kernels vs the XLA oracle.
 
-The interpret-mode tests (tests/test_scan_pallas*.py) validate kernel MATH
-on CPU; this script validates the actual Mosaic COMPILATION on the attached
-TPU — fwd and bwd, single-direction and paired-direction — against the XLA
-chunked-scan oracle (`ops/selective_scan.py`), with the scale-aware
-tolerances of tests/test_scan_pallas_bwd.py. Mosaic-vs-interpret divergence
-(layout bugs, bf16 rounding surprises, dynamic-slice miscompiles) fails
-loudly here instead of shipping silently (VERDICT r1 "what's weak" #2).
+The interpret-mode tests (tests/test_scan_pallas*.py, test_ssd_pallas.py)
+validate kernel MATH on CPU; this script validates the actual Mosaic
+COMPILATION on the attached TPU — v1 selective scan (fwd/bwd, single- and
+paired-direction) against the XLA chunked-scan oracle
+(`ops/selective_scan.py`), and the v2 SSD kernels (fwd/bwd/chained
+boundary-adjoint contract, `ops/ssd_pallas.py`) against the XLA dual form
+(`ops/ssd.py`) — with the scale-aware tolerances of the interpret tests.
+Mosaic-vs-interpret divergence (layout bugs, bf16 rounding surprises,
+dynamic-slice miscompiles) fails loudly here instead of shipping silently
+(VERDICT r1 "what's weak" #2; r2 #2 for the SSD kernel).
 
 Run (also reachable via `BENCH_VERIFY=1 python bench.py`):
     python scripts/verify_tpu.py
@@ -142,6 +145,78 @@ def main():
     for n, a, b in zip(names, g_bk, g_bo):
         _check(f"paired-bwd grad {n}", a, b, 5e-3, failures)
     del os.environ["CADUCEUS_BIDIR_BWD"]
+
+    # ---- SSD (Mamba-2) Pallas kernels: fwd/bwd/chained vs the XLA form ----
+    # production v2 head geometry (d_inner=512, headdim=64 → H=8, P=64,
+    # NG=1, N=128); fp32 inputs select fp32 carries, so the adjoint is
+    # near-exact to the XLA VJP.
+    from caduceus_tpu.ops.ssd import ssd_chunked
+    from caduceus_tpu.ops.ssd_pallas import ssd_pallas, ssd_pallas_chained
+
+    G2, L2, H2, P2, NG2, N2 = 2, 2048, 8, 64, 1, 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 7)
+    xs = jax.random.normal(ks[0], (G2, L2, H2, P2))
+    dts = (jax.random.normal(ks[1], (G2, L2, H2)) * 0.5)
+    As = -jnp.exp(jax.random.normal(ks[2], (H2,)) * 0.5)
+    Bs = jax.random.normal(ks[3], (G2, L2, NG2, N2))
+    Cs = jax.random.normal(ks[4], (G2, L2, NG2, N2))
+    Ds = jax.random.normal(ks[5], (H2,))
+    bs = jax.random.normal(ks[6], (H2,)) * 0.1
+
+    for reverse in (False, True):
+        y_k = jax.jit(
+            lambda *a, r=reverse: ssd_pallas(
+                *a[:5], D=a[5], dt_bias=a[6], dt_softplus=True, reverse=r,
+                chunk_size=256, seg_chunks=4)
+        )(xs, dts, As, Bs, Cs, Ds, bs)
+        y_o = jax.jit(
+            lambda *a, r=reverse: ssd_chunked(
+                *a[:5], D=a[5], dt_bias=a[6], dt_softplus=True, reverse=r,
+                chunk_size=256, seg_chunks=4)
+        )(xs, dts, As, Bs, Cs, Ds, bs)
+        _check(f"ssd fwd kernel reverse={reverse}", y_k, y_o, 2e-3, failures)
+
+    def ssd_loss(fn):
+        def loss(args):
+            y = fn(*args[:5], D=args[5], dt_bias=args[6], dt_softplus=True,
+                   chunk_size=256, seg_chunks=4)
+            return jnp.sum(jnp.square(y.astype(jnp.float32))) / y.size
+        return loss
+
+    ssd_args = (xs, dts, As, Bs, Cs, Ds, bs)
+    ssd_names = ["x", "dt", "A", "B", "C", "D", "dt_bias"]
+    g_sk = jax.jit(jax.grad(ssd_loss(ssd_pallas)))(ssd_args)
+    g_so = jax.jit(jax.grad(ssd_loss(ssd_chunked)))(ssd_args)
+    for n, a, b in zip(ssd_names, g_sk, g_so):
+        _check(f"ssd bwd grad {n}", a, b, 5e-3, failures)
+
+    # chained h_init/g_hN boundary contract: two chained segments == one
+    # full scan for value AND input gradients (the CP/prefill contract)
+    half = L2 // 2
+    zero_h = jnp.zeros((G2, H2, N2, P2), jnp.float32)
+
+    def chain_full(x, dt, B, C):
+        y, hN = ssd_pallas_chained(x, dt, As, B, C, Ds, bs, zero_h,
+                                   True, False, 256, False, 4)
+        return jnp.sum(jnp.square(y)) / y.size + jnp.sum(hN)
+
+    def chain_seg(x, dt, B, C):
+        y1, h1 = ssd_pallas_chained(
+            x[:, :half], dt[:, :half], As, B[:, :half], C[:, :half],
+            Ds, bs, zero_h, True, False, 256, False, 4)
+        y2, h2 = ssd_pallas_chained(
+            x[:, half:], dt[:, half:], As, B[:, half:], C[:, half:],
+            Ds, bs, h1, True, False, 256, False, 4)
+        y = jnp.concatenate([y1, y2], axis=1)
+        return jnp.sum(jnp.square(y)) / y.size + jnp.sum(h2)
+
+    vf, gf = jax.jit(jax.value_and_grad(chain_full, argnums=(0, 1, 2, 3)))(
+        xs, dts, Bs, Cs)
+    vs_, gs_ = jax.jit(jax.value_and_grad(chain_seg, argnums=(0, 1, 2, 3)))(
+        xs, dts, Bs, Cs)
+    _check("ssd chained value", vs_, vf, 1e-4, failures)
+    for n, a, b in zip(["x", "dt", "B", "C"], gs_, gf):
+        _check(f"ssd chained grad {n}", a, b, 5e-3, failures)
 
     if failures:
         print(f"\n{len(failures)} FAILURE(S): {failures}")

@@ -4,6 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+import pytest
 
 from caduceus_tpu.config import CaduceusConfig, SSMConfig
 from caduceus_tpu.models.caduceus import Caduceus, CaduceusForMaskedLM
@@ -152,3 +153,75 @@ def test_mlm_overfits_tiny_batch():
         if l0 is None:
             l0 = l
     assert float(l) < float(l0) * 0.5, (float(l0), float(l))
+
+
+@pytest.mark.parametrize("n_layer", [2, 3])
+@pytest.mark.parametrize("tie,strategy", [
+    (True, "add"), (True, "ew_multiply"), (False, "add"),
+])
+def test_fused_frame_conjugation_matches_data_impl(
+        monkeypatch, n_layer, tie, strategy):
+    """The parameter-side fused-frame realization ("params": conjugated
+    blocks — flipped norm/projection params + swapped scan directions) must
+    compute the SAME function as the data-movement realization ("data":
+    swap_rc per block), for even and odd layer counts and all weight-tie /
+    combine configurations."""
+    cfg = tiny_cfg(n_layer=n_layer, fused_add_norm=True,
+                   bidirectional_weight_tie=tie,
+                   bidirectional_strategy=strategy)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 7, 11)
+
+    monkeypatch.setenv("CADUCEUS_FUSED_FRAME_IMPL", "data")
+    model = CaduceusForMaskedLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    want = model.apply(params, ids)
+
+    monkeypatch.setenv("CADUCEUS_FUSED_FRAME_IMPL", "params")
+    got = CaduceusForMaskedLM(cfg).apply(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_frame_conjugation_matches_data_impl_v2(monkeypatch):
+    """Same equivalence for the Mamba-2 (SSD) mixer family."""
+    cfg = tiny_cfg(
+        n_layer=3, fused_add_norm=True,
+        ssm_cfg=SSMConfig(version=2, d_state=8, headdim=8, ssd_chunk_size=8),
+    )
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 7, 11)
+
+    monkeypatch.setenv("CADUCEUS_FUSED_FRAME_IMPL", "data")
+    model = CaduceusForMaskedLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    want = model.apply(params, ids)
+
+    monkeypatch.setenv("CADUCEUS_FUSED_FRAME_IMPL", "params")
+    got = CaduceusForMaskedLM(cfg).apply(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_frame_conjugation_grads_match(monkeypatch):
+    """Parameter gradients agree between the two frame realizations."""
+    cfg = tiny_cfg(n_layer=2, fused_add_norm=True)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 7, 11)
+
+    monkeypatch.setenv("CADUCEUS_FUSED_FRAME_IMPL", "data")
+    model_d = CaduceusForMaskedLM(cfg)
+    params = model_d.init(jax.random.PRNGKey(0), ids)
+
+    def loss(model):
+        def f(p):
+            return jnp.mean(jnp.square(model.apply(p, ids)))
+        return f
+
+    g_d = jax.grad(loss(model_d))(params)
+    monkeypatch.setenv("CADUCEUS_FUSED_FRAME_IMPL", "params")
+    g_p = jax.grad(loss(CaduceusForMaskedLM(cfg)))(params)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_p),
+            jax.tree_util.tree_leaves_with_path(g_d)):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(ka)}")

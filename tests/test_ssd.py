@@ -60,6 +60,23 @@ def test_chunked_odd_length_padding():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_chunked_padding_no_softplus_with_bias(reverse):
+    """ADVICE r2 regression: with dt_softplus=False and a nonzero dt_bias,
+    the raw-dt pad value must be -dt_bias (resolved dt = 0), not 0 — a zero
+    raw pad leaks `bias`-sized decay/drive steps into the final state."""
+    x, dt, A, B, C, D, bias = make_inputs(L=77)
+    bias = bias + 0.7  # make the leak large if the pad is wrong
+    y0, h0 = ssd_ref(x, dt, A, B, C, D, bias, False, reverse,
+                     return_final_state=True)
+    y1, h1 = ssd_chunked(x, dt, A, B, C, D, bias, False, reverse,
+                         chunk_size=32, return_final_state=True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_grads_match_oracle():
     x, dt, A, B, C, D, bias = make_inputs(L=64)
 
@@ -267,6 +284,57 @@ def test_sequence_parallel_ssd_matches_full(mesh8, reverse):
                        reverse=reverse, chunk_size=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sequence_parallel_ssd_ragged_no_softplus(mesh8):
+    """ADVICE r2 repro: dt_softplus=False + nonzero dt_bias with a shard
+    length that is NOT a multiple of chunk_size·seg_chunks — the pass-1
+    boundary states must still be exact (final-state error was 2.38 before
+    the `ssd_chunked` pad fix)."""
+    from caduceus_tpu.parallel.seq_scan import sequence_parallel_ssd
+
+    # 8 shards of length 17: ragged vs chunk_size=8, seg_chunks=8
+    x, dt, A, B, C, D, bias = make_inputs(L=136)
+    bias = bias + 0.7
+    got = sequence_parallel_ssd(
+        x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=False,
+        mesh=mesh8, axis="data", chunk_size=8, seg_chunks=8,
+    )
+    want = ssd_ref(x, dt, A, B, C, D, bias, False, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_sequence_parallel_ssd_pallas_local_impl(mesh8, reverse):
+    """CP with the chained Pallas SSD kernel as the local scan: forward and
+    gradients match the single-device XLA form."""
+    from caduceus_tpu.parallel.seq_scan import sequence_parallel_ssd
+
+    x, dt, A, B, C, D, bias = make_inputs(L=128)
+
+    def loss_cp(args):
+        x, dt, A, B, C, D, bias = args
+        y = sequence_parallel_ssd(
+            x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=True,
+            reverse=reverse, mesh=mesh8, axis="data", chunk_size=8,
+            local_impl="pallas_interpret")
+        return jnp.sum(jnp.square(y))
+
+    def loss_ref(args):
+        x, dt, A, B, C, D, bias = args
+        y = ssd_chunked(x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=True,
+                        reverse=reverse, chunk_size=8)
+        return jnp.sum(jnp.square(y))
+
+    args = (x, dt, A, B, C, D, bias)
+    v_cp, g_cp = jax.value_and_grad(loss_cp)(args)
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(args)
+    np.testing.assert_allclose(float(v_cp), float(v_ref), rtol=1e-4)
+    for n, a, b in zip("x dt A B C D bias".split(), g_cp, g_ref):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=5e-4, err_msg=f"{n} reverse={reverse}")
 
 
 def test_v2_model_context_parallel(mesh8):

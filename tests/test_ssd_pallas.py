@@ -10,7 +10,6 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-import caduceus_tpu.ops.ssd_pallas as sp
 from caduceus_tpu.ops.ssd import ssd_chunked, ssd_ref
 from caduceus_tpu.ops.ssd_pallas import ssd_pallas, ssd_pallas_chained
 
@@ -54,9 +53,9 @@ def test_fwd_single_group():
 
 
 @pytest.mark.parametrize("reverse", [False, True])
-def test_grads_match_oracle_fp32_carries(reverse, monkeypatch):
-    """With fp32 chunk-entry carries the adjoint is exact to the XLA VJP."""
-    monkeypatch.setattr(sp, "_CARRY_DTYPE", jnp.dtype(jnp.float32))
+def test_grads_match_oracle_fp32_carries(reverse):
+    """fp32 inputs select fp32 chunk-entry carries automatically
+    (`_carry_dtype`), making the adjoint exact to the XLA VJP."""
     x, dt, A, B, C, D, bias = make_inputs()
     gy = jnp.asarray(
         np.random.default_rng(7).standard_normal(x.shape), jnp.float32)
@@ -81,9 +80,11 @@ def test_grads_match_oracle_fp32_carries(reverse, monkeypatch):
             err_msg=f"grad mismatch: {name} (reverse={reverse})")
 
 
-def test_grads_bf16_carries_within_class():
-    """Default bf16 carries: scale-aware parity within the bf16 class
+def test_grads_bf16_carries_within_class(monkeypatch):
+    """bf16 carries (the default for bf16 inputs, forced here on fp32 inputs
+    via the env override): scale-aware parity within the bf16 class
     (the v1 kernel's precision policy, `ops/scan_pallas.py`)."""
+    monkeypatch.setenv("CADUCEUS_SSD_CARRY_DTYPE", "bfloat16")
     x, dt, A, B, C, D, bias = make_inputs()
 
     def f_ref(*args):
