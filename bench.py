@@ -77,6 +77,7 @@ def main():
     if ssm_version == 2:
         ssm_cfg = SSMConfig(
             version=2,
+            use_kernel=kernel,
             d_state=int(os.environ.get("BENCH_D_STATE", 128)),
             ssd_chunk_size=int(os.environ.get("BENCH_SSD_CHUNK", 256)),
             # seg=8 exceeds the 16 MB scoped-VMEM limit in the Pallas bwd
@@ -211,7 +212,7 @@ def main():
         "unit": (
             f"tokens/s/chip (seqlen={seqlen}, d_model=256, n_layer={n_layer}, "
             f"rcps, micro_batch={micro_batch}, accum={accum}, "
-            + (f"mamba2/ssd d_state={cfg.ssm_cfg.d_state})"
+            + (f"mamba2/ssd d_state={cfg.ssm_cfg.d_state} kernel={kernel})"
                if ssm_version == 2 else f"kernel={kernel})")
         ),
         "vs_baseline": (round(tokens_per_sec_chip / r1_headline, 3)

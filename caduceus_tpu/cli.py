@@ -107,6 +107,14 @@ def _load_preset(argv):
     # Mamba-2/SSD mixer — configs/hg38_mlm_v2.yaml)
     if isinstance(model.get("ssm_cfg"), dict):
         flat["ssm_cfg"] = model["ssm_cfg"]
+    # parallelism section: mesh shape + strategy flags
+    par = tree.get("parallel") or {}
+    if "mesh_model" in par:
+        flat["mesh_model"] = par["mesh_model"]
+    if par.get("tensor_parallel"):
+        flat["tensor_parallel"] = True
+    if par.get("context_parallel"):
+        flat["context_parallel"] = True
     return flat, argv
 
 
@@ -145,11 +153,32 @@ def cmd_pretrain(argv):
                         "hyena = HyenaDNA-style NTP LM with dropout + "
                         "filter lr groups (`long_conv_lm.py`, "
                         "`configs/model/hyena.yaml`)")
+    # multi-chip strategies (reference analog: auto-DDP when devices>1,
+    # `train.py:629-639`; CP/TP are beyond-reference). The mesh is
+    # (data, model): DP over 'data' is always on; --mesh-model N carves a
+    # 'model' axis for --tensor-parallel (Megatron param shards + per-shard
+    # scan kernels) or --context-parallel (sequence sharded over 'model' —
+    # two-pass exact scan; takes seqlen past single-chip HBM).
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="size of the mesh 'model' axis (devices = data x model)")
+    p.add_argument("--tensor-parallel", action="store_true",
+                   help="shard params + scans over the 'model' axis")
+    p.add_argument("--context-parallel", action="store_true",
+                   help="shard the sequence axis over the 'model' axis")
     _add_common_model_args(p)
     p.set_defaults(**preset)
     args = p.parse_args(argv)
     if args.model in ("mamba", "hyena") and not args.ntp:
         p.error(f"--model {args.model} is causal: pretrain with --ntp")
+    if args.tensor_parallel and args.context_parallel:
+        p.error("--tensor-parallel and --context-parallel share the single "
+                "'model' mesh axis; pick one per run")
+    if (args.tensor_parallel or args.context_parallel) and args.mesh_model < 2:
+        p.error("--tensor-parallel/--context-parallel need --mesh-model >= 2")
+    if args.context_parallel and args.max_length % args.mesh_model != 0:
+        p.error(f"--max-length {args.max_length} not divisible by "
+                f"--mesh-model {args.mesh_model} (context parallelism "
+                f"shards the sequence axis)")
 
     import jax
 
@@ -198,10 +227,19 @@ def cmd_pretrain(argv):
             # unidirectional causal Mamba LM (`dna_embedding.py:99-153`)
             cfg.rcps = False
             cfg.bidirectional = False
+        if args.tensor_parallel:
+            cfg.tensor_parallel_axis = "model"
+        if args.context_parallel:
+            cfg.context_parallel_axis = "model"
         # record the pretraining objective so `eval` rebuilds the right task
         # (NTP-pretrained models must not be scored against MLM-masked data)
         meta = cfg.to_dict()
         meta["objective"] = "ntp" if args.ntp else "mlm"
+        # parallelism axes are run-time launch choices, not model identity:
+        # a config_path consumer (finetune/eval/vep, possibly single-chip)
+        # must not inherit a mesh requirement
+        meta["tensor_parallel_axis"] = None
+        meta["context_parallel_axis"] = None
         with open(os.path.join(args.run_dir, "model_config.json"), "w") as f:
             json.dump(meta, f, indent=2)
         model = CaduceusForMaskedLM(cfg)
@@ -224,9 +262,20 @@ def cmd_pretrain(argv):
 
     log_fn = make_logger(run_dir=args.run_dir, rank=jax.process_index())
     train_loader = dm.train_loader()
+    mesh = None
+    if args.mesh_model > 1:
+        from caduceus_tpu.parallel.mesh import make_mesh
+
+        if args.model == "hyena" and args.context_parallel:
+            p.error("--context-parallel is not supported by --model hyena "
+                    "(the FFT long conv has no sequence-sharded path)")
+        mesh = make_mesh(model=args.mesh_model)
     trainer = Trainer(model, tcfg, train_loader, dm.eval_loader("valid"),
+                      mesh=mesh,
                       ignore_index=dm.tokenizer.pad_token_id, log_fn=log_fn,
-                      lr_overrides=lr_overrides)
+                      lr_overrides=lr_overrides,
+                      tensor_parallel=args.tensor_parallel,
+                      context_parallel=args.context_parallel)
     trainer.init_state(next(iter(train_loader)))
     log_fn(param_count(trainer.state.params))
     if args.resume:

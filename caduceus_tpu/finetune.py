@@ -112,6 +112,7 @@ def finetune_one(
     pooling: str = "mean",
     seed: int = 0,
     metric: str = "accuracy",
+    select_metric: Optional[str] = None,
     problem_type: str = "single_label_classification",
     freeze_backbone: bool = False,
     use_lengths: bool = False,
@@ -241,7 +242,17 @@ def finetune_one(
     def better(a, b):
         return a < b if problem_type == "regression" else a > b
 
-    sel_metric = "mse" if problem_type == "regression" else metric
+    # best-val selection metric: the task's headline metric, never the
+    # literal "all" (r2 bug: "all" silently fell back to accuracy, wrong
+    # for NT tasks whose protocol selects checkpoints by mcc/f1 —
+    # `slurm_scripts/run_nucleotide_transformer.sh:33-60`)
+    if problem_type == "regression":
+        sel_metric = "mse"
+    elif problem_type == "multi_label_classification":
+        sel_metric = select_metric or "accuracy"
+    else:
+        sel_metric = select_metric or (
+            metric if metric != "all" else "accuracy")
     best_val = np.inf if problem_type == "regression" else -np.inf
     best_params, best_extra = params, extra0
     extra = extra0
@@ -252,7 +263,7 @@ def finetune_one(
                 jnp.asarray(batch["labels"]), jnp.asarray(batch["lengths"]),
             )
         val = eval_split(params, extra, "val")
-        score = val.get(sel_metric, next(iter(val.values())))
+        score = val[sel_metric]  # loud KeyError beats silent wrong selection
         log({"epoch": epoch, "loss": float(loss), **{f"val/{k}": v for k, v in val.items()}})
         if better(score, best_val):
             best_val, best_params, best_extra = score, params, extra
@@ -383,6 +394,23 @@ def main(argv=None):
             state, _ = restore_checkpoint(ckpt_dir, template)
             pretrained_params = state.params
 
+    # resolve the task's headline metric for best-val selection
+    # (NT per-task map, `configs/dataset/nucleotide_transformer.yaml`;
+    # GenomicBenchmarks selects on accuracy, `README.md:182-184`)
+    from caduceus_tpu.data.classification import (
+        NT_TASK_METRICS,
+        NUCLEOTIDE_TRANSFORMER_TASKS,
+    )
+
+    if args.problem_type != "single_label_classification":
+        select = None
+    elif args.metric != "all":
+        select = args.metric
+    elif args.task in NUCLEOTIDE_TRANSFORMER_TASKS:
+        select = NT_TASK_METRICS.get(args.task, "mcc")
+    else:
+        select = "accuracy"
+
     results = []
     for seed in args.seeds:
         # conjoin_train vs conjoin_test is a DATA-side distinction
@@ -399,7 +427,7 @@ def main(argv=None):
         r = finetune_one(
             cfg, dm, dm.num_classes, pretrained_params=pretrained_params,
             epochs=args.epochs, lr=args.lr, pooling=args.pooling,
-            seed=seed, metric=args.metric,
+            seed=seed, metric=args.metric, select_metric=select,
             problem_type=args.problem_type,
             freeze_backbone=args.freeze_backbone,
             use_lengths=args.use_lengths, layer_decay=args.layer_decay,
@@ -409,7 +437,8 @@ def main(argv=None):
         results.append(r)
         print(json.dumps(r))
 
-    key = "test_mse" if args.problem_type == "regression" else "test_accuracy"
+    key = ("test_mse" if args.problem_type == "regression"
+           else f"test_{select or 'accuracy'}")
     summary = {
         "task": args.task,
         "seeds": args.seeds,

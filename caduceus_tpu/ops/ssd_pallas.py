@@ -283,6 +283,10 @@ def ssd_pallas_fwd_impl(
         scratch_shapes=[pltpu.VMEM((H * N, Pd), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # the default 16 MB scoped-VMEM budget rejects production
+            # geometry (H=8, P=64, N=128, seg=4 needs ~17-20 MB with
+            # double-buffered streams); v5e has 128 MB of VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*tensors, A_in, D_in, bias_in, h0_in)
@@ -513,6 +517,7 @@ def ssd_pallas_bwd_impl(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,  # see fwd kernel note
         ),
         interpret=interpret,
     )(x_p, dt_p, B_p, C_p, A_in, D_in, bias_in, gy_p, carries, ghN_in)

@@ -45,30 +45,40 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch tensors: sharded over 'data' on the leading axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+def batch_sharding(mesh: Mesh, cp: bool = False) -> NamedSharding:
+    """Batch tensors: sharded over 'data' on the leading axis; with
+    ``cp`` (context parallelism) the sequence axis additionally shards
+    over 'model'."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS) if cp else P(DATA_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a host-local numpy batch onto the mesh, sharded over 'data'.
+def shard_batch(mesh: Mesh, batch, cp: bool = False):
+    """Place a host-local numpy batch onto the mesh, sharded over 'data'
+    (and, with ``cp``, the sequence axis over 'model').
 
     Single-process: device_put with the named sharding. Multi-host: each
     process contributes its local rows via
     ``jax.make_array_from_process_local_data``.
     """
-    sharding = batch_sharding(mesh)
+    sharding = batch_sharding(mesh, cp=cp)
     data_size = mesh.shape[DATA_AXIS]
+    model_size = mesh.shape[MODEL_AXIS]
     for k, v in (batch.items() if isinstance(batch, dict) else []):
         if v.shape[0] % data_size != 0:
             raise ValueError(
                 f"batch axis of '{k}' ({v.shape[0]}) must be divisible by the "
                 f"mesh 'data' axis ({data_size}); set batch_size to a multiple "
                 f"of the data-parallel degree or pass a smaller mesh"
+            )
+        if cp and v.ndim > 1 and v.shape[1] % model_size != 0:
+            raise ValueError(
+                f"sequence axis of '{k}' ({v.shape[1]}) must be divisible by "
+                f"the mesh 'model' axis ({model_size}) under context "
+                f"parallelism"
             )
     if mesh.devices.size == 1:
         # Plain (uncommitted) placement. Semantically identical on one
@@ -77,10 +87,20 @@ def shard_batch(mesh: Mesh, batch):
         # flips every later dispatch onto a slow path (~6 s/step measured
         # at the 131k headline config; local TPU VMs are unaffected).
         return jax.device_put(batch)
+
+    def leaf_sharding(x):
+        # rank-1 entries (e.g. per-row metadata) can't take the L spec
+        if cp and getattr(x, "ndim", 0) < 2:
+            return NamedSharding(mesh, P(DATA_AXIS))
+        return sharding
+
     if jax.process_count() == 1:
-        return jax.device_put(batch, sharding)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, leaf_sharding(x)), batch
+        )
     return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+        lambda x: jax.make_array_from_process_local_data(leaf_sharding(x), x),
+        batch,
     )
 
 

@@ -83,7 +83,10 @@ def sequence_parallel_scan(
             return lax.pvary(x, (axis,))
         return x
 
-    def local(u_l, delta_l, B_l, C_l, z_l):
+    # parameters enter through in_specs as replicated operands (NOT closure
+    # capture: a committed param sharding inside the Manual shard_map mesh
+    # context trips mesh-consistency checks on newer jax)
+    def local(u_l, delta_l, B_l, C_l, z_l, A, D, delta_bias):
         idx = lax.axis_index(axis)
         zero_h = _varying(jnp.zeros((G, d, N), jnp.float32))
         use_pallas = local_impl.startswith("pallas")
@@ -152,15 +155,22 @@ def sequence_parallel_scan(
         return y
 
     z_in = z if z is not None else jnp.zeros((G, L, d), u.dtype)
+    D_in = jnp.zeros((d,), jnp.float32) if D is None else D
+    bias_in = (jnp.zeros((d,), jnp.float32) if delta_bias is None
+               else delta_bias)
+    has_D, has_bias = D is not None, delta_bias is not None
     from caduceus_tpu.parallel.mesh import shard_map_compat
 
     fn = shard_map_compat(
-        local,
+        lambda u_l, delta_l, B_l, C_l, z_l, A_, D_, b_: local(
+            u_l, delta_l, B_l, C_l, z_l, A_,
+            D_ if has_D else None, b_ if has_bias else None),
         mesh,
-        in_specs=(seq_spec, seq_spec, P(None, axis, None), P(None, axis, None), seq_spec),
+        in_specs=(seq_spec, seq_spec, P(None, axis, None), P(None, axis, None),
+                  seq_spec, rep, rep, rep),
         out_specs=seq_spec,
     )
-    return fn(u, delta, B_mat, C, z_in)
+    return fn(u, delta, B_mat, C, z_in, A, D_in, bias_in)
 
 
 def sequence_parallel_ssd(
@@ -216,7 +226,9 @@ def sequence_parallel_ssd(
     else:
         local_scan = ssd_chunked
 
-    def local(x_l, dt_l, B_l, C_l):
+    # parameters enter through in_specs as replicated operands (NOT closure
+    # capture — see sequence_parallel_scan)
+    def local(x_l, dt_l, B_l, C_l, A, D, dt_bias):
         idx = lax.axis_index(axis)
         zero_h = _varying(jnp.zeros((G, H, N, P_hd), jnp.float32))
 
@@ -250,7 +262,16 @@ def sequence_parallel_ssd(
 
     from caduceus_tpu.parallel.mesh import shard_map_compat
 
+    D_in = jnp.zeros((H,), jnp.float32) if D is None else D
+    bias_in = jnp.zeros((H,), jnp.float32) if dt_bias is None else dt_bias
+    has_D, has_bias = D is not None, dt_bias is not None
+    rep = P()
     fn = shard_map_compat(
-        local, mesh, in_specs=(seq4, seq3, seq4, seq4), out_specs=seq4
+        lambda x_l, dt_l, B_l, C_l, A_, D_, b_: local(
+            x_l, dt_l, B_l, C_l, A_,
+            D_ if has_D else None, b_ if has_bias else None),
+        mesh,
+        in_specs=(seq4, seq3, seq4, seq4, rep, rep, rep),
+        out_specs=seq4,
     )
-    return fn(x, dt, B_mat, C)
+    return fn(x, dt, B_mat, C, A, D_in, bias_in)

@@ -179,7 +179,7 @@ def make_eval_step(apply_fn: Callable, ignore_index: int = 4,
     return eval_step
 
 
-def prefetch_to_device(loader, mesh, size: int = 2):
+def prefetch_to_device(loader, mesh, size: int = 2, cp: bool = False):
     """Background-thread prefetch: host batch prep + device_put of batch N+1
     overlap step N's device execution (TODO r1: input-pipeline overlap).
 
@@ -210,7 +210,7 @@ def prefetch_to_device(loader, mesh, size: int = 2):
         try:
             for b in loader:
                 st = loader.state_dict() if hasattr(loader, "state_dict") else None
-                if not _put((shard_batch(mesh, b), st)):
+                if not _put((shard_batch(mesh, b, cp=cp), st)):
                     return  # consumer closed mid-epoch: stop iterating loader
         except BaseException as e:  # noqa: BLE001 — reraised on the consumer
             err.append(e)
@@ -278,6 +278,8 @@ class Trainer:
         ignore_index: int = 4,
         log_fn: Optional[Callable[[Dict], None]] = None,
         lr_overrides=None,
+        tensor_parallel: bool = False,
+        context_parallel: bool = False,
     ):
         self.model = model
         self.cfg = cfg
@@ -288,6 +290,23 @@ class Trainer:
         self.log_fn = log_fn or (lambda m: print(json.dumps(m)))
         self.ppl = Perplexity()
         self.num_tokens = NumTokens()
+        # multi-chip strategies beyond DP (reference analog: auto-DDP at
+        # `train.py:629-639`; CP/TP are beyond-reference). tensor_parallel
+        # shards params with the Megatron specs (`parallel/sharding.py`) and
+        # context_parallel L-shards batches over the 'model' axis — both
+        # require the model config's {tensor,context}_parallel_axis to be
+        # set to "model", which routes the scans through the shard_map
+        # paths; that needs the mesh registered globally.
+        self.tensor_parallel = tensor_parallel
+        self.context_parallel = context_parallel
+        if tensor_parallel or context_parallel:
+            from caduceus_tpu.parallel.mesh import set_global_mesh
+
+            assert self.mesh.shape["model"] > 1, (
+                "tensor/context parallelism needs a mesh with model>1 "
+                "(pass mesh=make_mesh(model=N))"
+            )
+            set_global_mesh(self.mesh)
 
         warmup_t = int(cfg.warmup_frac * cfg.max_steps)
         self.tx, self.schedule = make_optimizer(
@@ -311,6 +330,13 @@ class Trainer:
     def init_state(self, example_batch) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.seed)
         ids = jnp.asarray(example_batch["input_ids"][:1])
+        if self.context_parallel:
+            # init on a shard-divisible slice placed like the real batches
+            # (the CP shard_map paths need L % model == 0 even at init)
+            n_model = self.mesh.shape["model"]
+            L = ids.shape[1] - ids.shape[1] % n_model
+            ids = jax.device_put(
+                ids[:, :L], batch_sharding(self.mesh, cp=True))
         params = self.model.init(rng, ids)
         if self._lr_overrides is not None:
             # rebuild with the per-param groups now that params exist
@@ -324,10 +350,18 @@ class Trainer:
                 gradient_clip=self.cfg.gradient_clip,
                 params_example=params, lr_overrides=self._lr_overrides,
             )
-        opt_state = self.tx.init(params)
-        if self.mesh.devices.size > 1:
-            rep = replicated(self.mesh)
-            params, opt_state = jax.device_put((params, opt_state), rep)
+        if self.tensor_parallel:
+            # Megatron specs: shard in/out projections + inner-SSM params
+            # over 'model'; the optimizer state inherits the layout
+            from caduceus_tpu.parallel.sharding import shard_params
+
+            params = shard_params(self.mesh, params)
+            opt_state = self.tx.init(params)
+        else:
+            opt_state = self.tx.init(params)
+            if self.mesh.devices.size > 1:
+                rep = replicated(self.mesh)
+                params, opt_state = jax.device_put((params, opt_state), rep)
         # (on a 1-device mesh the state stays uncommitted — a NamedSharding
         # commitment makes every later dispatch through the axon tunnel
         # ~6 s slower; see parallel/mesh.py shard_batch note)
@@ -366,14 +400,16 @@ class Trainer:
         while step < max_steps:
             if self.cfg.prefetch > 0:
                 stream = prefetch_to_device(self.train_loader, self.mesh,
-                                            self.cfg.prefetch)
+                                            self.cfg.prefetch,
+                                            cp=self.context_parallel)
             else:
                 def _sync_stream():
                     for b in self.train_loader:
                         st = (self.train_loader.state_dict()
                               if hasattr(self.train_loader, "state_dict")
                               else None)
-                        yield shard_batch(self.mesh, b), st
+                        yield shard_batch(self.mesh, b,
+                                          cp=self.context_parallel), st
 
                 stream = _sync_stream()
             # `for` does not close a generator on break — close explicitly so
@@ -442,7 +478,8 @@ class Trainer:
             for i, batch in enumerate(self.eval_loader):
                 if i >= max_batches:
                     break
-                batch = shard_batch(self.mesh, batch)
+                batch = shard_batch(self.mesh, batch,
+                                    cp=self.context_parallel)
                 m = jax.device_get(self._eval_step(params, batch))
                 ppl.update(m["loss_sum"], m["count"])
                 # token-weighted means (ragged final batches would bias

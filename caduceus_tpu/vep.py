@@ -191,8 +191,17 @@ def svm_eval(
     Cs=(1, 5, 10),
     seeds=(0, 1, 2, 3, 4),
     train_frac: float = 0.8,
+    val_frac: float = 0.25,
 ) -> Dict:
-    """SVC + AUROC by TSS-distance bucket (`vep_svm.ipynb` cells 2-14)."""
+    """SVC + AUROC by TSS-distance bucket (`vep_svm.ipynb` cells 2-14).
+
+    The notebook fits per-C and reports per-C results; ``per_C`` mirrors
+    that. The headline ``auroc_mean``/``buckets`` use one C per seed
+    selected on a VALIDATION split carved out of the train portion (never
+    on the test split), and the bucket AUROCs are computed from that
+    selected C's test scores — fixing the r2 bugs where buckets silently
+    used the last C in the grid and "best" C was chosen on test.
+    """
     from sklearn.metrics import roc_auc_score
     from sklearn.preprocessing import StandardScaler
     from sklearn.svm import SVC
@@ -200,21 +209,40 @@ def svm_eval(
     d = np.load(embeddings_path)
     X, y, tss = d["features"], d["labels"], d["tss_distance"]
     results = {"overall": [], "buckets": {f"{lo}-{hi}": [] for lo, hi in TSS_BUCKETS}}
+    per_C = {C: [] for C in Cs}
+    selected_Cs = []
     for seed in seeds:
         rng = np.random.default_rng(seed)
         perm = rng.permutation(len(y))
         n_train = int(len(y) * train_frac)
         tr, te = perm[:n_train], perm[n_train:]
-        if len(np.unique(y[tr])) < 2 or len(np.unique(y[te])) < 2:
+        n_val = max(1, int(len(tr) * val_frac))
+        fit, va = tr[:-n_val], tr[-n_val:]
+        if (len(np.unique(y[tr])) < 2 or len(np.unique(y[te])) < 2
+                or len(np.unique(y[fit])) < 2):
             continue
-        best_auc = -1.0
+        # per-C: fit on the val-reduced train split, score val (for C
+        # selection) and test (for the notebook-style per-C report)
+        best_C, best_val = None, -1.0
+        test_scores_by_C = {}
         for C in Cs:
-            scaler = StandardScaler().fit(X[tr])
-            clf = SVC(C=C, probability=False).fit(scaler.transform(X[tr]), y[tr])
-            scores = clf.decision_function(scaler.transform(X[te]))
-            auc = roc_auc_score(y[te], scores)
-            best_auc = max(best_auc, auc)
-        results["overall"].append(best_auc)
+            scaler = StandardScaler().fit(X[fit])
+            clf = SVC(C=C, probability=False).fit(
+                scaler.transform(X[fit]), y[fit])
+            test_scores_by_C[C] = clf.decision_function(
+                scaler.transform(X[te]))
+            per_C[C].append(
+                roc_auc_score(y[te], test_scores_by_C[C]))
+            if len(np.unique(y[va])) == 2:
+                val_auc = roc_auc_score(
+                    y[va], clf.decision_function(scaler.transform(X[va])))
+                if val_auc > best_val:
+                    best_val, best_C = val_auc, C
+        if best_C is None:
+            best_C = Cs[0]
+        selected_Cs.append(int(best_C))
+        scores = test_scores_by_C[best_C]
+        results["overall"].append(roc_auc_score(y[te], scores))
         for lo, hi in TSS_BUCKETS:
             m = (np.abs(tss[te]) >= lo) & (np.abs(tss[te]) < hi)
             if m.sum() > 1 and len(np.unique(y[te][m])) == 2:
@@ -227,6 +255,10 @@ def svm_eval(
         "buckets": {
             k: (float(np.mean(v)) if v else None) for k, v in results["buckets"].items()
         },
+        "per_C": {
+            str(C): (float(np.mean(v)) if v else None) for C, v in per_C.items()
+        },
+        "selected_C": selected_Cs,
         "n": int(len(y)),
     }
     return summary

@@ -277,3 +277,60 @@ def test_finetune_preset_loading(task_dir):
         "--d-model", "16", "--n-layer", "1",
     ])
     assert "mean_test_accuracy" in res
+
+
+def test_svm_eval_per_c_and_selected_buckets(tmp_path):
+    """r2 VERDICT weak #4 regression: svm_eval must (a) report per-C AUROCs
+    (the notebook protocol), (b) select C on a validation split (never on
+    test), and (c) compute bucket AUROCs from the SELECTED C's scores (the
+    old code used whatever C was last in the loop)."""
+    from caduceus_tpu.vep import svm_eval
+
+    rng = np.random.default_rng(0)
+    n, d = 120, 8
+    y = rng.integers(0, 2, n).astype(np.int32)
+    X = rng.standard_normal((n, d)).astype(np.float32) + 1.5 * y[:, None]
+    tss = rng.integers(0, 200_000, n).astype(np.int64)
+    path = str(tmp_path / "emb.npz")
+    np.savez(path, features=X, labels=y, tss_distance=tss)
+
+    res = svm_eval(path, Cs=(1, 5, 10), seeds=(0, 1, 2))
+    assert set(res["per_C"]) == {"1", "5", "10"}
+    assert all(v is None or 0.0 <= v <= 1.0 for v in res["per_C"].values())
+    assert res["selected_C"] and all(c in (1, 5, 10) for c in res["selected_C"])
+    assert res["auroc_mean"] is not None and res["auroc_mean"] > 0.8
+    assert any(v is not None for v in res["buckets"].values())
+
+
+def test_finetune_metric_all_selects_headline(task_dir):
+    """r2 VERDICT weak #5 regression: with metric="all" the best-val
+    selection must use the task's headline metric (select_metric), not
+    silently fall back to accuracy."""
+    from caduceus_tpu.finetune import finetune_one
+
+    cfg = small_cfg()
+    dm = ClassificationDataModule(task_dir, "demo", max_length=64,
+                                  batch_size=16)
+    logs = []
+    res = finetune_one(cfg, dm, num_labels=2, epochs=1, lr=1e-3,
+                       metric="all", select_metric="mcc",
+                       log_fn=logs.append)
+    # mcc was computed each epoch and best_val is an mcc (in [-1, 1])
+    assert any("val/mcc" in m for m in logs)
+    assert -1.0 <= res["best_val"] <= 1.0
+    assert "test_mcc" in res and "test_f1" in res
+
+
+def test_finetune_metric_resolver():
+    """NT tasks resolve metric='all' to their per-task headline metric;
+    GenomicBenchmarks tasks resolve to accuracy."""
+    from caduceus_tpu.data.classification import (
+        NT_TASK_METRICS,
+        NUCLEOTIDE_TRANSFORMER_TASKS,
+    )
+
+    assert NT_TASK_METRICS.get("enhancers") == "mcc"
+    assert NT_TASK_METRICS.get("promoter_all") == "f1"
+    # histone tasks default to mcc via the NT-membership fallback
+    assert "H3K4me1" in NUCLEOTIDE_TRANSFORMER_TASKS
+    assert "H3K4me1" not in NT_TASK_METRICS

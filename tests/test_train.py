@@ -339,3 +339,72 @@ def test_cli_pretrain_preset_model_family(tmp_path):
     assert art["rcps"] is False and art["bidirectional"] is False
     assert art["objective"] == "ntp"
     assert art["d_model"] == 16  # CLI override beats preset
+
+
+def test_cli_pretrain_context_parallel(tmp_path):
+    """CLI-launched context-parallel pretrain (VERDICT r2 #4): a 262,144-
+    token batch, sequence sharded over the 8-device mesh's 'model' axis —
+    unreachable single-"chip" at real scale, launched with shipped flags
+    only. Checks loss is finite, checkpoint lands, and the persisted
+    model_config does NOT inherit the mesh requirement."""
+    import json as _json
+
+    from caduceus_tpu.cli import main as cli_main
+    from caduceus_tpu.data.synthetic import make_synthetic_genome
+
+    L = 1 << 15  # 32768 x batch 8 = 262,144 tokens per step
+    fasta, bed = make_synthetic_genome(str(tmp_path), n_chromosomes=1,
+                                       chrom_len=1 << 17, window=L)
+    run = str(tmp_path / "cp")
+    cli_main(["pretrain", "--fasta", fasta, "--bed", bed,
+              "--max-length", str(L), "--batch-size", "8", "--max-steps", "1",
+              "--d-model", "16", "--n-layer", "2", "--dtype", "float32",
+              "--run-dir", run, "--prefetch", "0",
+              "--mesh-model", "8", "--context-parallel"])
+    art = _json.load(open(f"{run}/model_config.json"))
+    assert art["context_parallel_axis"] is None  # runtime choice, not identity
+    assert (tmp_path / "cp" / "checkpoints").exists()
+    metrics = [ _json.loads(l) for l in open(f"{run}/metrics.jsonl") ]
+    assert any("loss" in m and np.isfinite(m["loss"]) for m in metrics)
+
+
+def test_cli_pretrain_tensor_parallel(tmp_path):
+    """CLI-launched tensor-parallel pretrain: params sharded with the
+    Megatron specs over a (data=4, model=2) mesh, scans through the
+    per-shard kernel path."""
+    import json as _json
+
+    from caduceus_tpu.cli import main as cli_main
+    from caduceus_tpu.data.synthetic import make_synthetic_genome
+
+    fasta, bed = make_synthetic_genome(str(tmp_path), n_chromosomes=1,
+                                       chrom_len=1 << 11, window=1 << 9)
+    run = str(tmp_path / "tp")
+    cli_main(["pretrain", "--fasta", fasta, "--bed", bed,
+              "--max-length", "64", "--batch-size", "8", "--max-steps", "2",
+              "--d-model", "16", "--n-layer", "2", "--dtype", "float32",
+              "--run-dir", run, "--prefetch", "0",
+              "--mesh-model", "2", "--tensor-parallel"])
+    art = _json.load(open(f"{run}/model_config.json"))
+    assert art["tensor_parallel_axis"] is None
+    metrics = [ _json.loads(l) for l in open(f"{run}/metrics.jsonl") ]
+    assert any("loss" in m and np.isfinite(m["loss"]) for m in metrics)
+
+
+def test_cli_parallel_flag_validation(tmp_path):
+    """Invalid parallelism flag combinations fail fast at argparse time."""
+    import pytest as _pytest
+
+    from caduceus_tpu.cli import main as cli_main
+
+    with _pytest.raises(SystemExit):
+        cli_main(["pretrain", "--fasta", "x", "--bed", "y",
+                  "--mesh-model", "2", "--tensor-parallel",
+                  "--context-parallel"])
+    with _pytest.raises(SystemExit):
+        cli_main(["pretrain", "--fasta", "x", "--bed", "y",
+                  "--tensor-parallel"])  # needs --mesh-model >= 2
+    with _pytest.raises(SystemExit):
+        cli_main(["pretrain", "--fasta", "x", "--bed", "y",
+                  "--mesh-model", "3", "--context-parallel",
+                  "--max-length", "64"])  # 64 % 3 != 0
