@@ -139,9 +139,15 @@ def _fwd_kernel(
             car_ref[0, c] = h_s[...].astype(car_ref.dtype)
         dt = _resolve_dt_tile(dt_ref[0, o:o + T], bias_ref, dt_softplus)
         a = dt * A_ref[...]                               # (T, H), <= 0
+        # HIGHEST: the default MXU pass truncates `a` to bf16, and the
+        # exp(cum) chains amplify that into ~1e-2 output error vs the
+        # oracle's exact fp32 jnp.cumsum (caught by scripts/verify_tpu.py
+        # on device — interpret mode is exact and cannot see it). The
+        # (T, T) @ (T, H=8) dot is tiny; extra passes are free.
         cum = jax.lax.dot_general(
             Mcum, a, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                 # (T, H) inclusive
         total = jnp.sum(a, axis=0, keepdims=True)         # (1, H)
         ecum = jnp.exp(cum)
@@ -341,6 +347,8 @@ def _bwd_kernel(
         cum = jax.lax.dot_general(
             Mcum, a, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # exact passes — see the fwd kernel's cum note
+            precision=jax.lax.Precision.HIGHEST,
         )
         total = jnp.sum(a, axis=0, keepdims=True)
         ecum = jnp.exp(cum)
@@ -420,6 +428,8 @@ def _bwd_kernel(
         g_a = jax.lax.dot_general(
             McumT, g_cum, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # exact passes — see the fwd kernel's cum note
+            precision=jax.lax.Precision.HIGHEST,
         )
         g_dt = A_row * g_a + jnp.concatenate(g_dtx_cols, axis=1)
         if dt_softplus:
