@@ -15,7 +15,7 @@ Parity targets:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -264,6 +264,7 @@ def make_optimizer(
     schedule_name: str = "cosine_warmup_timm",
     lr_overrides=None,
     layer_decay: Optional[float] = None,
+    wd_mask_fn: Optional[Callable] = None,
 ):
     """AdamW + LR schedule + clipping; returns (tx, schedule_fn).
 
@@ -299,10 +300,18 @@ def make_optimizer(
             ld = layer_decay_multipliers(params_example, layer_decay)
             factors = jax.tree_util.tree_map(lambda a, b: a * b, factors, ld)
 
+    # ``wd_mask_fn`` overrides the default decay mask. One known use: the
+    # reference's executed decay set differs from its documented intent —
+    # `add_optimizer_hooks` (src/utils/optim_groups.py:25-33) blacklists
+    # torch's nn norm classes but NOT mamba_ssm's custom RMSNorm, so the
+    # reference hg38 runs DECAY RMSNorm weights; our default mask implements
+    # the documented intent (norms exempt). Trajectory-parity tests inject
+    # the executed-semantics mask here.
+    mask_src = wd_mask_fn if wd_mask_fn is not None else weight_decay_mask
     if params_example is None:
-        mask = weight_decay_mask
+        mask = mask_src
     else:
-        mask = weight_decay_mask(params_example)
+        mask = mask_src(params_example)
         if lr_overrides:
             # `_optim` override groups carry wd=0 in the reference
             # (`src/utils/train.py:157` register defaults wd=0.0)

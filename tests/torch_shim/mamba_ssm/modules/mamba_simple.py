@@ -78,7 +78,12 @@ class Mamba(nn.Module):
         A = torch.arange(1, d_state + 1, dtype=torch.float32,
                          device=device).repeat(self.d_inner, 1)
         self.A_log = nn.Parameter(torch.log(A))
+        # real mamba_ssm marks both as weight-decay-exempt; the reference's
+        # add_optimizer_hooks (src/utils/optim_groups.py:36) reads this
+        # attribute, so optimizer-trajectory parity needs it on the shim too
+        self.A_log._no_weight_decay = True
         self.D = nn.Parameter(torch.ones(self.d_inner, **factory_kwargs))
+        self.D._no_weight_decay = True
         self.out_proj = nn.Linear(self.d_inner, d_model, bias=bias,
                                   **factory_kwargs)
 
