@@ -331,12 +331,16 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.seed)
         ids = jnp.asarray(example_batch["input_ids"][:1])
         if self.context_parallel:
-            # init on a shard-divisible slice placed like the real batches
-            # (the CP shard_map paths need L % model == 0 even at init)
+            # init on a shard-divisible slice with only the SEQUENCE axis
+            # sharded (the CP shard_map paths need L % model == 0 even at
+            # init; the batch-1 example can't take the 'data' spec)
+            from jax.sharding import NamedSharding, PartitionSpec
+
             n_model = self.mesh.shape["model"]
             L = ids.shape[1] - ids.shape[1] % n_model
             ids = jax.device_put(
-                ids[:, :L], batch_sharding(self.mesh, cp=True))
+                ids[:, :L],
+                NamedSharding(self.mesh, PartitionSpec(None, "model")))
         params = self.model.init(rng, ids)
         if self._lr_overrides is not None:
             # rebuild with the per-param groups now that params exist
