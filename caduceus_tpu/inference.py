@@ -266,26 +266,237 @@ def lm_step(
     return logits.astype(jnp.float32), new_caches
 
 
+def _resolved_infer_kernel(cfg: CaduceusConfig) -> str:
+    """Mirror the model's kernel auto-resolution (`models/mamba2.py`)."""
+    k = cfg.ssm_cfg.use_kernel
+    if k == "auto":
+        return "xla" if jax.default_backend() == "cpu" else "pallas"
+    return k
+
+
+def _conv_with_history(xi: jnp.ndarray, cache_conv: jnp.ndarray):
+    """Prepend the cached K-1 pre-conv columns so the parallel conv
+    continues the stepwise ring buffer exactly. Returns (extended input
+    whose conv outputs from index K-1 equal the continuation, new ring
+    buffer = last K columns)."""
+    K = cache_conv.shape[1]
+    hist = cache_conv[:, 1:].astype(xi.dtype)  # rows 1..K-1 = last K-1 inputs
+    xi_ext = jnp.concatenate([hist, xi], axis=1)
+    new_conv = xi_ext[:, -K:]
+    return xi_ext, new_conv
+
+
+def mamba_direction_prefill(
+    dparams: Dict[str, Any],
+    cfg: CaduceusConfig,
+    xi: jnp.ndarray,  # (B, Lp, d_inner) — post in_proj, pre conv
+    cache: Cache,
+    use_kernel: str,
+) -> Tuple[jnp.ndarray, Cache]:
+    """Parallel-prompt pass of the v1 inner branch: full-sequence conv +
+    chained selective scan seeded from / emitting the stepwise cache
+    (VERDICT r2 #5 — the reference processes prompts with the parallel
+    kernel before stepping, mamba-ssm generation /
+    `src/models/sequence/long_conv_lm.py:391-493`)."""
+    from caduceus_tpu.ops.conv import causal_conv1d
+
+    s = cfg.ssm_cfg
+    K = s.d_conv
+    xi_ext, new_conv = _conv_with_history(xi, cache["conv"])
+    xc = causal_conv1d(
+        xi_ext, dparams["conv_w"].astype(xi.dtype),
+        dparams.get("conv_b"), activation="silu",
+    )[:, K - 1:]
+
+    dbc = xc @ dparams["x_proj_w"].astype(xc.dtype)
+    dt, B_mat, C = jnp.split(
+        dbc, [cfg.dt_rank, cfg.dt_rank + s.d_state], axis=-1
+    )
+    delta_raw = dt @ dparams["dt_proj_w"].astype(dt.dtype)
+    A = -jnp.exp(dparams["A_log"].astype(jnp.float32))
+    h0 = cache["ssm"]  # (B, d_inner, N) fp32
+
+    if use_kernel.startswith("pallas"):
+        from caduceus_tpu.ops.scan_pallas import selective_scan_pallas_chained
+
+        y, hN = selective_scan_pallas_chained(
+            xc, delta_raw, A, B_mat, C, dparams["D"], dparams["dt_proj_b"],
+            jnp.transpose(h0, (0, 2, 1)),  # kernel h layout (G, N, d)
+            delta_softplus=True,
+            interpret=use_kernel == "pallas_interpret",
+        )
+        hN = jnp.transpose(hN, (0, 2, 1))
+    else:
+        y, hN = selective_scan_xla_chained(
+            xc, delta_raw, A, B_mat, C, dparams["D"], dparams["dt_proj_b"],
+            h0,
+        )
+    return y, {"conv": new_conv.astype(cache["conv"].dtype), "ssm": hN}
+
+
+def selective_scan_xla_chained(u, delta, A, B_mat, C, D, dt_bias, h0):
+    from caduceus_tpu.ops.selective_scan import selective_scan
+
+    return selective_scan(
+        u, delta, A, B_mat, C, D=D, delta_bias=dt_bias, delta_softplus=True,
+        h_init=h0, return_final_state=True,
+    )
+
+
+def mamba2_direction_prefill(
+    dparams: Dict[str, Any],
+    cfg: CaduceusConfig,
+    xBC: jnp.ndarray,  # (B, Lp, d_inner + 2·NG·N) — pre-conv
+    dt: jnp.ndarray,  # (B, Lp, H) — raw dt channel
+    cache: Cache,
+    use_kernel: str,
+) -> Tuple[jnp.ndarray, Cache]:
+    """Parallel-prompt pass of the v2 (SSD) inner branch via the chained
+    chunked scan (`ops/ssd.py` / `ops/ssd_pallas.py`)."""
+    from caduceus_tpu.ops.conv import causal_conv1d
+
+    s = cfg.ssm_cfg
+    H, P, NG, N = cfg.nheads, s.headdim, s.ngroups, s.d_state
+    B, Lp = xBC.shape[:2]
+    K = s.d_conv
+    xBC_ext, new_conv = _conv_with_history(xBC, cache["conv"])
+    xc = causal_conv1d(
+        xBC_ext, dparams["conv_w"].astype(xBC.dtype),
+        dparams.get("conv_b"), activation="silu",
+    )[:, K - 1:]
+    x4 = xc[..., : H * P].reshape(B, Lp, H, P)
+    B4 = xc[..., H * P: H * P + NG * N].reshape(B, Lp, NG, N)
+    C4 = xc[..., H * P + NG * N:].reshape(B, Lp, NG, N)
+    A = -jnp.exp(dparams["A_log"].astype(jnp.float32))
+    h0 = cache["ssm"]  # (B, H, N, P) fp32
+
+    if use_kernel.startswith("pallas"):
+        from caduceus_tpu.ops.ssd_pallas import ssd_pallas_chained
+
+        y, hN = ssd_pallas_chained(
+            x4, dt, A, B4, C4, dparams["D"], dparams["dt_bias"], h0,
+            dt_softplus=True, chunk_size=s.ssd_chunk_size,
+            interpret=use_kernel == "pallas_interpret",
+            seg_chunks=s.ssd_seg_chunks,
+        )
+    else:
+        from caduceus_tpu.ops.ssd import ssd_chunked
+
+        y, hN = ssd_chunked(
+            x4, dt, A, B4, C4, D=dparams["D"], dt_bias=dparams["dt_bias"],
+            dt_softplus=True, chunk_size=s.ssd_chunk_size, h_init=h0,
+            return_final_state=True, seg_chunks=s.ssd_seg_chunks,
+        )
+    return y.reshape(B, Lp, cfg.d_inner), {
+        "conv": new_conv.astype(cache["conv"].dtype), "ssm": hN
+    }
+
+
+def mixer_prefill(
+    mparams: Dict[str, Any],
+    cfg: CaduceusConfig,
+    x: jnp.ndarray,  # (B, Lp, d_model)
+    cache: Cache,
+    use_kernel: str,
+) -> Tuple[jnp.ndarray, Cache]:
+    """Parallel-prompt pass of one causal mixer (v1 or v2)."""
+    sub = mparams["mamba_fwd"]
+    s = cfg.ssm_cfg
+    xz = x @ sub["in_proj"]["kernel"].astype(x.dtype)
+    if "bias" in sub["in_proj"]:
+        xz = xz + sub["in_proj"]["bias"].astype(xz.dtype)
+    if s.version == 2:
+        from caduceus_tpu.models.mamba2 import rms_norm_gated
+
+        d_xbc = cfg.d_inner + 2 * s.ngroups * s.d_state
+        z, xBC, dt = jnp.split(
+            xz, [cfg.d_inner, cfg.d_inner + d_xbc], axis=-1
+        )
+        y, new_fwd = mamba2_direction_prefill(
+            sub["fwd"], cfg, xBC, dt, cache["fwd"], use_kernel)
+        y = rms_norm_gated(y, z, sub["norm_w"], s.ngroups, cfg.norm_epsilon)
+    else:
+        xi, z = jnp.split(xz, 2, axis=-1)
+        y, new_fwd = mamba_direction_prefill(
+            sub["fwd"], cfg, xi, cache["fwd"], use_kernel)
+        y = y.astype(x.dtype) * jax.nn.silu(z)
+    out = y.astype(x.dtype) @ sub["out_proj"]["kernel"].astype(x.dtype)
+    if "bias" in sub["out_proj"]:
+        out = out + sub["out_proj"]["bias"].astype(out.dtype)
+    return out, {"fwd": new_fwd}
+
+
 def prefill(
     params: Dict[str, Any],
     cfg: CaduceusConfig,
     prompt_ids: jnp.ndarray,  # (B, Lp)
     caches: Optional[Cache] = None,
+    mode: str = "parallel",
+    tie_word_embeddings: bool = True,
 ) -> Tuple[jnp.ndarray, Cache]:
-    """Run the prompt through the stepwise path via ``lax.scan``.
+    """Process the prompt and return (last-position logits, caches).
 
-    Returns (logits at the last prompt position, caches after the prompt).
+    ``mode="parallel"`` (default) runs the prompt through the PARALLEL
+    kernels — full-sequence conv + chained scan with ``h_init`` /
+    ``return_final_state`` — one device dispatch per layer instead of O(Lp)
+    sequential steps, exactly like the reference's generation path
+    (mamba-ssm processes the prompt with the parallel kernel and only then
+    steps). ``mode="stepwise"`` keeps the lax.scan-of-steps form (the
+    numerics oracle; `tests/test_inference.py` asserts both agree).
+
+    Chained calls (pass ``caches`` from a previous prefill) stream a long
+    sequence through in chunks — the conv ring buffer and scan state carry
+    across calls exactly.
     """
+    if cfg.bidirectional or cfg.rcps:
+        raise NotImplementedError(
+            "prefill requires a causal config (bidirectional=False, "
+            "rcps=False)"
+        )
     B = prompt_ids.shape[0]
     if caches is None:
         caches = init_cache(cfg, B)
 
-    def step(carry, tok):
-        logits, carry = lm_step(params, cfg, tok, carry)
-        return carry, logits
+    if mode == "stepwise":
+        def step(carry, tok):
+            logits, carry = lm_step(params, cfg, tok, carry,
+                                    tie_word_embeddings=tie_word_embeddings)
+            return carry, logits
 
-    caches, logits_all = jax.lax.scan(step, caches, prompt_ids.T)
-    return logits_all[-1], caches
+        caches, logits_all = jax.lax.scan(step, caches, prompt_ids.T)
+        return logits_all[-1], caches
+
+    use_kernel = _resolved_infer_kernel(cfg)
+    p = _unwrap(params)
+    bb = p["backbone"]
+    dtype = jnp.dtype(cfg.dtype)
+    h = bb["embedding"].astype(dtype)[prompt_ids]  # (B, Lp, d_model)
+
+    residual = None
+    new_caches = {}
+    for i in range(cfg.n_layer):
+        key = f"layers_{i}"
+        lp = bb[key]
+        normed, residual = add_norm(
+            h, lp["norm_w"], lp.get("norm_b"), residual=residual,
+            eps=cfg.norm_epsilon, use_rms=cfg.rms_norm,
+            residual_in_fp32=cfg.residual_in_fp32, prenorm=True,
+        )
+        h, new_caches[key] = mixer_prefill(
+            lp["mixer"], cfg, normed, caches[key], use_kernel)
+
+    final = h if residual is None else residual + h.astype(residual.dtype)
+    if cfg.residual_in_fp32:
+        final = final.astype(jnp.float32)
+    if cfg.rms_norm:
+        hn = rms_norm(final, bb["norm_f_w"], eps=cfg.norm_epsilon).astype(dtype)
+    else:
+        hn = layer_norm(
+            final, bb["norm_f_w"], bb.get("norm_f_b"), eps=cfg.norm_epsilon
+        ).astype(dtype)
+    W = (bb["embedding"] if tie_word_embeddings else p["lm_head"]).astype(dtype)
+    logits = hn[:, -1] @ W.T
+    return logits.astype(jnp.float32), new_caches
 
 
 def generate(

@@ -151,3 +151,91 @@ def test_generate_rejects_bidirectional():
     )
     with pytest.raises(NotImplementedError):
         generate({}, cfg, jnp.zeros((1, 4), jnp.int32), 2)
+
+
+def _cache_allclose(a, b, atol=1e-4):
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32), atol=atol,
+                                   rtol=1e-3)
+
+
+@pytest.mark.parametrize("version,kernel", [
+    (1, "xla"), (1, "pallas_interpret"),
+    (2, "xla"), (2, "pallas_interpret"),
+])
+def test_parallel_prefill_matches_stepwise(version, kernel):
+    """VERDICT r2 #5: the parallel (chained-kernel) prefill must agree with
+    the scan-of-steps oracle on last-position logits AND on the emitted
+    cache (conv ring buffer exactly, ssm state numerically)."""
+    if version == 2:
+        ssm = SSMConfig(version=2, d_state=8, headdim=8, ssd_chunk_size=8,
+                        ssd_seg_chunks=2, use_kernel=kernel)
+    else:
+        ssm = SSMConfig(d_state=4, use_kernel=kernel)
+    cfg = _causal_cfg(n_layer=2, ssm_cfg=ssm)
+    model = CaduceusForMaskedLM(cfg)
+    B, L = 2, 24
+    ids = jax.random.randint(jax.random.PRNGKey(5), (B, L), 7, 11)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    logits_p, caches_p = prefill(params, cfg, ids, mode="parallel")
+    logits_s, caches_s = prefill(params, cfg, ids, mode="stepwise")
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(logits_s),
+                               atol=2e-4, rtol=1e-3)
+    _cache_allclose(caches_p, caches_s)
+
+    # and both continue identically: one more stepwise token from each cache
+    tok = ids[:, -1]
+    l1, _ = lm_step(params, cfg, tok, caches_p)
+    l2, _ = lm_step(params, cfg, tok, caches_s)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-4,
+                               rtol=1e-3)
+
+
+def test_chunked_prefill_streams():
+    """Chained prefill calls (streaming a long sequence in chunks) carry the
+    conv ring buffer + scan state exactly: two chunks == one pass. Also
+    covers prompts shorter than d_conv (ring-buffer partial fill)."""
+    cfg = _causal_cfg(n_layer=2)
+    model = CaduceusForMaskedLM(cfg)
+    B, L = 2, 32
+    ids = jax.random.randint(jax.random.PRNGKey(6), (B, L), 7, 11)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    one_logits, one_caches = prefill(params, cfg, ids)
+    for split in (2, L - 3, L - 1):  # 2 < d_conv: partial ring fill
+        _, c1 = prefill(params, cfg, ids[:, :split])
+        two_logits, c2 = prefill(params, cfg, ids[:, split:], caches=c1)
+        np.testing.assert_allclose(np.asarray(two_logits),
+                                   np.asarray(one_logits), atol=2e-4,
+                                   rtol=1e-3)
+        _cache_allclose(c2, one_caches)
+
+
+def test_generate_uses_parallel_prefill():
+    """generate() must produce identical greedy output whichever prefill
+    mode seeds it (the default is the parallel path)."""
+    cfg = _causal_cfg(n_layer=1, d_model=16)
+    model = CaduceusForMaskedLM(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(8), (2, 12), 7, 11)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    out = generate(params, cfg, ids, max_new_tokens=5)
+    full = model.apply(params, out[:, :-1])
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(full[:, 11:], axis=-1)), np.asarray(out[:, 12:])
+    )
+
+
+def test_prefill_rejects_bidirectional():
+    tok = CaduceusTokenizer()
+    cfg = CaduceusConfig(
+        d_model=16, n_layer=1, vocab_size=tok.vocab_size,
+        ssm_cfg=SSMConfig(d_state=4, use_kernel="xla"),
+        rcps=True, bidirectional=True, complement_map=tok.complement_map,
+        dtype="float32", param_dtype="float32",
+    )
+    with pytest.raises(NotImplementedError):
+        prefill({}, cfg, jnp.zeros((1, 8), jnp.int32))
