@@ -141,6 +141,13 @@ class CaduceusConfig:
         s = self.ssm_cfg
         if s.version not in (1, 2):
             raise NotImplementedError(f"ssm_cfg.version={s.version!r}")
+        if (s.version == 1 and self.tensor_parallel_axis
+                and self.context_parallel_axis):
+            raise NotImplementedError(
+                "version=1 supports tensor_parallel_axis OR "
+                "context_parallel_axis, not both (the composed path exists "
+                "for version=2)"
+            )
         if s.version == 2:
             if isinstance(s.a_init_range, list):
                 s.a_init_range = tuple(s.a_init_range)
@@ -153,17 +160,19 @@ class CaduceusConfig:
                     f"nheads {self.d_inner // s.headdim} not divisible by "
                     f"ngroups {s.ngroups}"
                 )
-            if self.tensor_parallel_axis and self.context_parallel_axis:
-                raise NotImplementedError(
-                    "version=2 supports tensor_parallel_axis OR "
-                    "context_parallel_axis, not both at once"
+            if (self.tensor_parallel_axis and self.context_parallel_axis
+                    and self.tensor_parallel_axis
+                    == self.context_parallel_axis):
+                raise ValueError(
+                    "version=2 CP+TP composition needs DISTINCT mesh axes "
+                    "(e.g. tensor_parallel_axis='model', "
+                    "context_parallel_axis='seq' on a make_mesh(model=M, "
+                    "seq=S) mesh)"
                 )
-            if self.tensor_parallel_axis and s.ngroups != 1:
-                raise NotImplementedError(
-                    "version=2 tensor parallelism shards heads and "
-                    "replicates B/C, which requires ngroups=1 (the mamba-ssm "
-                    "2.x default)"
-                )
+            # ngroups>1 TP: heads are contiguous per group, so any TP degree
+            # that divides (or is divided by) ngroups keeps shard boundaries
+            # group-aligned — validated against the actual mesh at run time
+            # in `models/mamba2.py _sharded_ssd` / `parallel/seq_scan.py`.
 
     # -- derived quantities ------------------------------------------------
     @property

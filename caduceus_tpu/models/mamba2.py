@@ -227,13 +227,17 @@ class _DirectionParamsV2(nn.Module):
         if c.context_parallel_axis:
             from caduceus_tpu.parallel.seq_scan import sequence_parallel_ssd
 
+            # CP, optionally composed with TP: head_axis additionally shards
+            # H (and, when NG divides evenly, NG) inside the same shard_map
             y = sequence_parallel_ssd(
                 xs, dt3, A, Bm, Cm, D=self.D, dt_bias=self.dt_bias,
                 dt_softplus=True, reverse=reverse, mesh=mesh,
                 axis=c.context_parallel_axis, chunk_size=s.ssd_chunk_size,
                 seg_chunks=s.ssd_seg_chunks, local_impl=kernel,
+                head_axis=c.tensor_parallel_axis,
             )
         else:
+            from jax import lax as _lax
             from jax.sharding import PartitionSpec as Pt
 
             from caduceus_tpu.parallel.mesh import shard_map_compat
@@ -241,6 +245,18 @@ class _DirectionParamsV2(nn.Module):
             ax = c.tensor_parallel_axis
             ntp = mesh.shape[ax]
             assert H % ntp == 0, f"nheads {H} not divisible by TP axis {ntp}"
+            # B/C group layout per shard (heads are contiguous per group, so
+            # H % ntp == 0 keeps shard boundaries group-aligned):
+            #  - NG % ntp == 0: shard the NG axis too — zero B/C duplication
+            #  - ntp % NG == 0: each shard's heads lie inside ONE group —
+            #    replicate B/C and slice that group out locally
+            if NG % ntp == 0:
+                bc_spec, slice_group = Pt(None, None, ax, None), False
+            else:
+                assert ntp % NG == 0, (
+                    f"ngroups {NG} and TP degree {ntp} must divide one "
+                    f"another (group-aligned head shards)")
+                bc_spec, slice_group = Pt(None, None, None, None), True
 
             if kernel.startswith("pallas"):
                 from caduceus_tpu.ops.ssd_pallas import ssd_pallas as _ssd
@@ -252,6 +268,10 @@ class _DirectionParamsV2(nn.Module):
                 _ssd = ssd_chunked
 
             def call(x_, dt_, A_, D_, bias_, B_, C_):
+                if slice_group:
+                    g = (_lax.axis_index(ax) * NG) // ntp
+                    B_ = _lax.dynamic_slice_in_dim(B_, g, 1, axis=2)
+                    C_ = _lax.dynamic_slice_in_dim(C_, g, 1, axis=2)
                 return _ssd(
                     x_, dt_, A_, B_, C_, D=D_, dt_bias=bias_,
                     dt_softplus=True, reverse=reverse,
@@ -260,10 +280,9 @@ class _DirectionParamsV2(nn.Module):
 
             h4 = Pt(None, None, ax, None)
             h3 = Pt(None, None, ax)
-            n4 = Pt(None, None, None, None)
             y = shard_map_compat(
                 call, mesh,
-                in_specs=(h4, h3, Pt(ax), Pt(ax), Pt(ax), n4, n4),
+                in_specs=(h4, h3, Pt(ax), Pt(ax), Pt(ax), bc_spec, bc_spec),
                 out_specs=h4,
             )(xs, dt3, A, self.D, self.dt_bias, Bm, Cm)
         return y.reshape(*lead, L, c.d_inner)

@@ -23,24 +23,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def make_mesh(
     devices: Optional[Sequence] = None,
     data: Optional[int] = None,
     model: int = 1,
+    seq: int = 1,
 ) -> Mesh:
-    """Mesh over all (or given) devices: ('data', 'model').
+    """Mesh over all (or given) devices: ('data', 'model') — or
+    ('data', 'model', 'seq') when ``seq > 1``, for composing tensor
+    parallelism (params/heads over 'model') with context parallelism
+    (sequence over 'seq') in one run.
 
-    Defaults to pure data parallelism (model=1), matching the reference's
-    only exercised strategy (SURVEY.md §2.4).
+    Defaults to pure data parallelism (model=seq=1), matching the
+    reference's only exercised strategy (SURVEY.md §2.4).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+        assert n % (model * seq) == 0, (
+            f"{n} devices not divisible by model*seq={model * seq}")
+        data = n // (model * seq)
+    assert data * model * seq == n, (
+        f"mesh {data}x{model}x{seq} != {n} devices")
+    if seq > 1:
+        dev_array = np.asarray(devices).reshape(data, model, seq)
+        return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 

@@ -189,6 +189,7 @@ def sequence_parallel_ssd(
     chunk_size: int = 256,
     seg_chunks: int = 8,
     local_impl: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
+    head_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Exact Mamba-2 (SSD) scan with the sequence axis sharded over `axis`.
 
@@ -200,6 +201,12 @@ def sequence_parallel_ssd(
     the chained Pallas kernel (`ops/ssd_pallas.py ssd_pallas_chained` —
     built for exactly this h_init/g_hN boundary contract); "xla" runs the
     MXU-chunked dual form.
+
+    ``head_axis`` composes tensor parallelism with CP in the SAME
+    shard_map: the H (and, when NG divides evenly, NG) axes additionally
+    shard over that mesh axis. The two-pass body is unchanged — every
+    operation is per-head independent and all collectives name ``axis``
+    only — so the composition is purely a sharding-spec change.
     """
     from caduceus_tpu.ops.ssd import _resolve_dt, ssd_chunked
 
@@ -207,9 +214,23 @@ def sequence_parallel_ssd(
     G, L, H, P_hd = x.shape
     assert L % n_s == 0, f"L={L} not divisible by mesh axis {axis}={n_s}"
     N = B_mat.shape[-1]
+    NG = B_mat.shape[-2]
 
-    seq4 = P(None, axis, None, None)
-    seq3 = P(None, axis, None)
+    ntp = 1
+    if head_axis is not None:
+        ntp = mesh.shape[head_axis]
+        assert head_axis != axis, "head_axis must differ from the CP axis"
+        assert H % ntp == 0, f"nheads {H} not divisible by {head_axis}={ntp}"
+        assert NG == 1 or NG % ntp == 0, (
+            f"ngroups {NG} must be 1 (B/C replicated per head shard) or a "
+            f"multiple of {head_axis}={ntp} (group-aligned head shards)")
+    h_ax = head_axis  # None replicates
+    g_ax = head_axis if (head_axis and NG % ntp == 0 and NG > 1) else None
+    seq4 = P(None, axis, h_ax, None)
+    seq3 = P(None, axis, h_ax)
+    bc4 = P(None, axis, g_ax, None)
+    par1 = P(h_ax)  # per-head (H,) parameters
+    H_loc = H // ntp
 
     def _varying(t):
         if hasattr(lax, "pcast"):
@@ -230,7 +251,7 @@ def sequence_parallel_ssd(
     # capture — see sequence_parallel_scan)
     def local(x_l, dt_l, B_l, C_l, A, D, dt_bias):
         idx = lax.axis_index(axis)
-        zero_h = _varying(jnp.zeros((G, H, N, P_hd), jnp.float32))
+        zero_h = _varying(jnp.zeros((G, H_loc, N, P_hd), jnp.float32))
 
         # pass 1: local scan from zero state — only the final state is used
         y0, b_s = local_scan(
@@ -265,13 +286,12 @@ def sequence_parallel_ssd(
     D_in = jnp.zeros((H,), jnp.float32) if D is None else D
     bias_in = jnp.zeros((H,), jnp.float32) if dt_bias is None else dt_bias
     has_D, has_bias = D is not None, dt_bias is not None
-    rep = P()
     fn = shard_map_compat(
         lambda x_l, dt_l, B_l, C_l, A_, D_, b_: local(
             x_l, dt_l, B_l, C_l, A_,
             D_ if has_D else None, b_ if has_bias else None),
         mesh,
-        in_specs=(seq4, seq3, seq4, seq4, rep, rep, rep),
+        in_specs=(seq4, seq3, bc4, bc4, par1, par1, par1),
         out_specs=seq4,
     )
     return fn(x, dt, B_mat, C, A, D_in, bias_in)
