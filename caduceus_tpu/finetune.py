@@ -297,7 +297,9 @@ def main(argv=None):
     )
     p = argparse.ArgumentParser(prog="finetune")
     p.add_argument("--data-dir", required=True)
-    p.add_argument("--task", required=True)
+    # per-task presets (configs/downstream/{gb,nt}/<task>.yaml) carry the
+    # task name; a bare --task still works without one
+    p.add_argument("--task", required="task" not in preset)
     p.add_argument("--max-length", type=int, default=512)
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--epochs", type=int, default=10)

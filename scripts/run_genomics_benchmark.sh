@@ -40,7 +40,8 @@ for task in "${TASKS[@]}"; do
       tag="${task}_lr-${lr}_bs-${bs}"
       echo "=== GB ${tag} ==="
       python -m caduceus_tpu.cli finetune \
-        --data-dir "${DATA_DIR}" --task "${task}" \
+        --preset "configs/downstream/gb/${task}.yaml" \
+        --data-dir "${DATA_DIR}" \
         --batch-size "${bs}" --lr "${lr}" --epochs "${EPOCHS}" \
         --seeds 1 2 3 4 5 --metric all \
         "${EXTRA[@]}" | tee "${OUT_DIR}/${tag}.jsonl"

@@ -37,7 +37,8 @@ for task in "${TASKS[@]}"; do
       tag="${task}_lr-${lr}_bs-${bs}"
       echo "=== NT ${tag} ==="
       python -m caduceus_tpu.cli finetune \
-        --data-dir "${DATA_DIR}" --task "${task}" \
+        --preset "configs/downstream/nt/${task}.yaml" \
+        --data-dir "${DATA_DIR}" \
         --batch-size "${bs}" --lr "${lr}" --epochs "${EPOCHS}" \
         --seeds 1 2 3 4 5 6 7 8 9 10 --metric all \
         "${EXTRA[@]}" | tee "${OUT_DIR}/${tag}.jsonl"
