@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from caduceus_tpu.models.mamba import torch_linear_init
+from caduceus_tpu.ops.attention import mha_attention
 from caduceus_tpu.ops.conv import causal_conv1d
 from caduceus_tpu.ops.fft_conv import fft_conv
 
@@ -202,6 +203,7 @@ class MHA(nn.Module):
     num_heads: int = 8
     causal: bool = True
     dropout: float = 0.0  # attention-output dropout (flash-attn MHA `dropout`)
+    use_kernel: str = "auto"  # Pallas flash attention on TPU (ops/attention.py)
     dtype: str = "float32"
 
     @nn.compact
@@ -214,9 +216,8 @@ class MHA(nn.Module):
                        name="Wqkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         rs = lambda t: t.reshape(B, L, self.num_heads, hd)
-        out = jax.nn.dot_product_attention(
-            rs(q), rs(k), rs(v), is_causal=self.causal
-        )
+        out = mha_attention(rs(q), rs(k), rs(v), causal=self.causal,
+                            use_kernel=self.use_kernel)
         out = out.reshape(B, L, d)
         out = nn.Dropout(self.dropout, deterministic=not train,
                          name="drop")(out)

@@ -218,6 +218,32 @@ def main():
     for n, a, b in zip(["x", "dt", "B", "C"], gs_, gf):
         _check(f"ssd chained grad {n}", a, b, 5e-3, failures)
 
+    # ---- flash attention (hybrid-MHA layers) vs the XLA oracle ----
+    # bf16-class MXU rounding inside the kernel → looser tolerance.
+    from caduceus_tpu.ops.attention import mha_attention
+
+    Ba, La, Ha, hda = 2, 2048, 8, 32
+    ka = jax.random.split(jax.random.PRNGKey(2), 3)
+    qa, kk, va = (jax.random.normal(k, (Ba, La, Ha, hda)) for k in ka)
+    for causal in (True, False):
+        y_k = jax.jit(lambda *a, c=causal: mha_attention(
+            *a, causal=c, use_kernel="pallas"))(qa, kk, va)
+        y_o = jax.jit(lambda *a, c=causal: mha_attention(
+            *a, causal=c, use_kernel="xla"))(qa, kk, va)
+        _check(f"flash attention fwd causal={causal}", y_k, y_o, 5e-3,
+               failures)
+
+    def attn_loss(kernel):
+        def loss(args):
+            y = mha_attention(*args, causal=True, use_kernel=kernel)
+            return jnp.sum(jnp.square(y)) / y.size
+        return loss
+
+    g_ak = jax.jit(jax.grad(attn_loss("pallas")))((qa, kk, va))
+    g_ao = jax.jit(jax.grad(attn_loss("xla")))((qa, kk, va))
+    for n, a, b in zip(["q", "k", "v"], g_ak, g_ao):
+        _check(f"flash attention grad {n}", a, b, 1e-2, failures)
+
     if failures:
         print(f"\n{len(failures)} FAILURE(S): {failures}")
         return 1

@@ -19,17 +19,15 @@ import os
 
 # XLA:CPU's compiler recurses deeply on large scan bodies (the SSD chunked
 # dual form); with the default 8 MB stack the main thread segfaults inside
-# backend_compile roughly once per full-suite run (observed r3, three runs,
+# backend_compile roughly once per full-suite run (observed r3, four runs,
 # always in a v2-model compile). The main thread's stack grows on demand up
-# to RLIMIT_STACK, so raising the soft limit is a complete fix.
+# to RLIMIT_STACK, so raise the soft limit all the way to the hard limit
+# (a 512 MB cap was observed to still be exceeded once — do not cap).
 try:
     import resource
 
     _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-    _want = 512 * 1024 * 1024
-    if _hard == resource.RLIM_INFINITY or _hard >= _want:
-        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
-    elif _soft != resource.RLIM_INFINITY and _soft < _hard:
+    if _soft != _hard:
         resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
 except Exception:  # pragma: no cover — best-effort on exotic kernels
     pass
