@@ -18,11 +18,11 @@ here. For fast startup, ALSO launch pytest with the axon boot skipped:
 import os
 
 # XLA:CPU's compiler recurses deeply on large scan bodies (the SSD chunked
-# dual form); with the default 8 MB stack the main thread segfaults inside
-# backend_compile roughly once per full-suite run (observed r3, four runs,
-# always in a v2-model compile). The main thread's stack grows on demand up
-# to RLIMIT_STACK, so raise the soft limit all the way to the hard limit
-# (a 512 MB cap was observed to still be exceeded once — do not cap).
+# dual form); raise the stack soft limit to the hard limit as headroom.
+# NOTE: this alone is NOT sufficient — a full-suite single process still
+# segfaults in backend_compile ~210 tests in (observed with unlimited
+# stack; compiler-state accumulation, not reproducible in a fresh
+# process), so scripts/test.sh runs the suite as two pytest processes.
 try:
     import resource
 
