@@ -99,7 +99,19 @@ def main():
         remat=True,
         remat_span=remat_span,
     )
-    model = CaduceusForMaskedLM(cfg)
+    # BENCH_MODEL=hyena benches the HyenaDNA-style LM family (NTP) at the
+    # same geometry: fft long conv + per-branch gradient checkpointing
+    # (reference checkpoint_mixer/mlp, `long_conv_lm.py:33-39`).
+    bench_model = os.environ.get("BENCH_MODEL", "caduceus")
+    if bench_model == "hyena":
+        from caduceus_tpu.models.hyena import HyenaLMHeadModel
+
+        model = HyenaLMHeadModel(
+            d_model=256, n_layer=n_layer, vocab_size=tok.vocab_size,
+            l_max=seqlen, embed_dropout=0.0, resid_dropout=0.0,
+            checkpoint_mixer=True, checkpoint_mlp=True, dtype="bfloat16")
+    else:
+        model = CaduceusForMaskedLM(cfg)
 
     rng = np.random.default_rng(0)
     total_rows = micro_batch * accum
@@ -205,13 +217,15 @@ def main():
     # the same config) — only meaningful at the default headline config.
     r1_headline = 60129.2
     at_headline = (seqlen == 131072 and n_layer == 16
-                   and tokens_per_step == 1 << 20)
+                   and tokens_per_step == 1 << 20
+                   and bench_model == "caduceus")
     result = {
         "metric": "tokens_per_sec_per_chip_mlm_pretrain",
         "value": round(tokens_per_sec_chip, 1),
         "unit": (
             f"tokens/s/chip (seqlen={seqlen}, d_model=256, n_layer={n_layer}, "
-            f"rcps, micro_batch={micro_batch}, accum={accum}, "
+            + ("hyena ntp, " if bench_model == "hyena" else "rcps, ")
+            + f"micro_batch={micro_batch}, accum={accum}, "
             + (f"mamba2/ssd d_state={cfg.ssm_cfg.d_state} kernel={kernel})"
                if ssm_version == 2 else f"kernel={kernel})")
         ),

@@ -245,6 +245,11 @@ class HyenaLMBackbone(nn.Module):
     # `configs/model/hyena.yaml:6-7`)
     embed_dropout: float = 0.1
     resid_dropout: float = 0.0
+    # gradient checkpointing per sub-branch, matching the reference's
+    # `checkpoint_mixer` / `checkpoint_mlp` (`long_conv_lm.py:33-39,187-190`)
+    # — required to train Hyena at 131k within HBM
+    checkpoint_mixer: bool = False
+    checkpoint_mlp: bool = False
     dtype: str = "float32"
 
     @nn.compact
@@ -267,19 +272,24 @@ class HyenaLMBackbone(nn.Module):
                                name=f"ln1_{i}")
             ln2 = nn.LayerNorm(epsilon=self.layer_norm_epsilon, dtype=dtype,
                                name=f"ln2_{i}")
+            # static_argnums=(2,): (self, x, train) — train is a python bool
+            remat_mixer = (lambda c: nn.remat(c, static_argnums=(2,))
+                           if self.checkpoint_mixer else c)
             if i in self.attn_layer_idx:
-                mixer = MHA(self.d_model, self.num_heads, dtype=self.dtype,
-                            name=f"mixer_{i}")
+                mixer = remat_mixer(MHA)(self.d_model, self.num_heads,
+                                         dtype=self.dtype, name=f"mixer_{i}")
             else:
-                mixer = HyenaOperator(self.d_model, self.l_max, dtype=self.dtype,
-                                      name=f"mixer_{i}", **hk)
+                mixer = remat_mixer(HyenaOperator)(
+                    self.d_model, self.l_max, dtype=self.dtype,
+                    name=f"mixer_{i}", **hk)
+            mlp_cls = nn.remat(Mlp) if self.checkpoint_mlp else Mlp
             d1 = nn.Dropout(self.resid_dropout, deterministic=det,
                             name=f"drop1_{i}")
             d2 = nn.Dropout(self.resid_dropout, deterministic=det,
                             name=f"drop2_{i}")
-            h = h + d1(mixer(ln1(h), train=train))
-            h = h + d2(Mlp(self.d_model, dtype=self.dtype,
-                           name=f"mlp_{i}")(ln2(h)))
+            h = h + d1(mixer(ln1(h), train))
+            h = h + d2(mlp_cls(self.d_model, dtype=self.dtype,
+                               name=f"mlp_{i}")(ln2(h)))
 
         h = nn.LayerNorm(epsilon=self.layer_norm_epsilon, dtype=dtype,
                          name="ln_f")(h)
@@ -300,6 +310,8 @@ class HyenaLMHeadModel(nn.Module):
     hyena_kwargs: Optional[dict] = None
     embed_dropout: float = 0.1
     resid_dropout: float = 0.0
+    checkpoint_mixer: bool = False
+    checkpoint_mlp: bool = False
     dtype: str = "float32"
 
     @nn.compact
@@ -310,6 +322,8 @@ class HyenaLMHeadModel(nn.Module):
             max_position_embeddings=self.max_position_embeddings,
             hyena_kwargs=self.hyena_kwargs,
             embed_dropout=self.embed_dropout, resid_dropout=self.resid_dropout,
+            checkpoint_mixer=self.checkpoint_mixer,
+            checkpoint_mlp=self.checkpoint_mlp,
             dtype=self.dtype, name="backbone",
         )(input_ids, train=train)
         logits = h @ embed.astype(h.dtype).T

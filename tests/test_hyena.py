@@ -114,3 +114,31 @@ def test_hyena_hybrid_attention_layer():
     flat = ["/".join(str(getattr(p, 'key', p)) for p in path) for path, _ in names]
     assert any("mixer_1" in n and "Wqkv" in n for n in flat)
     assert any("mixer_0" in n and "filter_fn" in n for n in flat)
+
+
+def test_checkpoint_flags_preserve_function():
+    """checkpoint_mixer/checkpoint_mlp (reference long_conv_lm.py:33-39)
+    change memory, not math: same logits and grads with/without."""
+    from caduceus_tpu.models.hyena import HyenaLMHeadModel
+
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 32), 0, 12)
+    kw = dict(d_model=32, n_layer=2, vocab_size=12, l_max=32,
+              attn_layer_idx=(1,), num_heads=4,
+              embed_dropout=0.0, resid_dropout=0.0)
+    plain = HyenaLMHeadModel(**kw)
+    ck = HyenaLMHeadModel(**kw, checkpoint_mixer=True, checkpoint_mlp=True)
+    params = plain.init(jax.random.PRNGKey(1), x)
+
+    y0 = plain.apply(params, x)
+    y1 = ck.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    def loss(m):
+        return lambda p: jnp.mean(
+            jnp.square(m.apply(p, x).astype(jnp.float32)))
+
+    from jax.flatten_util import ravel_pytree
+    g0, _ = ravel_pytree(jax.grad(loss(plain))(params))
+    g1, _ = ravel_pytree(jax.grad(loss(ck))(params))
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               atol=1e-6, rtol=1e-5)
