@@ -424,13 +424,18 @@ def _bwd_adjoint_loop_multi(dirs, lam0s, gA0s, *, T, U):
                 hb_t = jnp.minimum(t0 + U, T - 1)
                 hb_mem = h_s[:, pl.ds(hb_t, 1)][:, 0].astype(jnp.float32)
                 hb = jnp.where(t0 + U == T, h0, hb_mem)
-                h_prev_u = jnp.concatenate([h_u[:, 1:], hb[:, None]], axis=1)
+                # U=1: no in-slab neighbors — avoid zero-size concat
+                # operands, which Mosaic rejects ("positive constant sizes")
+                h_prev_u = (hb[:, None] if U == 1 else
+                            jnp.concatenate([h_u[:, 1:], hb[:, None]],
+                                            axis=1))
             else:
                 hb_t = jnp.maximum(t0 - 1, 0)
                 hb_mem = h_s[:, pl.ds(hb_t, 1)][:, 0].astype(jnp.float32)
                 hb = jnp.where(t0 == 0, h0, hb_mem)
-                h_prev_u = jnp.concatenate([hb[:, None], h_u[:, : U - 1]],
-                                           axis=1)
+                h_prev_u = (hb[:, None] if U == 1 else
+                            jnp.concatenate([hb[:, None], h_u[:, : U - 1]],
+                                            axis=1))
             B_u = bc_s[:, 0, pl.ds(t0, U), :]
             du_u = du_s[:, pl.ds(t0, U), :]
             d_u = delta_s[:, pl.ds(t0, U), :]

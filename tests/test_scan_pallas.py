@@ -217,3 +217,33 @@ def test_chained_padding_no_softplus_bias(reverse):
         # bf16 kernel staging: slightly looser than the softplus-path test
         np.testing.assert_allclose(np.asarray(a) / s, b / s,
                                    atol=1e-2, err_msg=f"grad {n} ({reverse=})")
+
+
+def test_kernel_unroll1_fallback():
+    """chunk sizes that defeat the 8-aligned slab unroll take the U=1
+    per-position path (fwd+bwd); value and grads must still match the
+    oracle. Regression: the bwd U=1 path used to emit a zero-size concat
+    that Mosaic rejects ("vector types must have positive constant
+    sizes")."""
+    u, delta, A, B, C, D, dt_bias = _inputs(jax.random.PRNGKey(5), L=60)
+    for reverse in (False, True):
+        def k_loss(args, r=reverse):
+            # chunk 20: _pick_unroll(20, 8) == 1
+            y = _pallas(*args[:6], None, r, args[6], chunk=20)
+            return jnp.mean(jnp.square(y))
+
+        def o_loss(args, r=reverse):
+            y = selective_scan(args[0], args[1], args[2], args[3], args[4],
+                               D=args[5], z=None, delta_bias=args[6],
+                               delta_softplus=True, reverse=r)
+            return jnp.mean(jnp.square(y))
+
+        args = (u, delta, A, B, C, D, dt_bias)
+        vk, gk = jax.value_and_grad(k_loss)(args)
+        vo, go = jax.value_and_grad(o_loss)(args)
+        np.testing.assert_allclose(vk, vo, rtol=2e-4)
+        for name, a, b in zip("u delta A B C D dt_bias".split(), gk, go):
+            scale = float(np.abs(np.asarray(b)).max()) + 1e-9
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=5e-3,
+                                       err_msg=f"{name} reverse={reverse}")
