@@ -306,7 +306,21 @@ def cmd_eval(argv):
     p.add_argument("--max-length", type=int, default=1024)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-batches", type=int, default=100)
+    # same mesh flags as pretrain: context parallelism lets eval score
+    # sequences longer than one chip's HBM (e.g. 262k on an 8-chip axis)
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="size of the mesh 'model' axis (devices = data x model)")
+    p.add_argument("--tensor-parallel", action="store_true")
+    p.add_argument("--context-parallel", action="store_true")
     args = p.parse_args(argv)
+    if args.tensor_parallel and args.context_parallel:
+        p.error("--tensor-parallel and --context-parallel share the single "
+                "'model' mesh axis; pick one per run")
+    if (args.tensor_parallel or args.context_parallel) and args.mesh_model < 2:
+        p.error("--tensor-parallel/--context-parallel need --mesh-model >= 2")
+    if args.context_parallel and args.max_length % args.mesh_model != 0:
+        p.error(f"--max-length {args.max_length} not divisible by "
+                f"--mesh-model {args.mesh_model}")
 
     from caduceus_tpu.config import CaduceusConfig
     from caduceus_tpu.data.hg38 import HG38DataModule
@@ -335,18 +349,34 @@ def cmd_eval(argv):
         lr_overrides = hyena_lr_overrides(run_lr)
     else:
         cfg = CaduceusConfig.load(cfg_path)
+        if args.tensor_parallel:
+            cfg.tensor_parallel_axis = "model"
+        if args.context_parallel:
+            cfg.context_parallel_axis = "model"
         model = CaduceusForMaskedLM(cfg)
         # objective recorded at pretrain time (older runs default to MLM)
         mlm = raw.get("objective", "mlm") == "mlm"
         run_lr = TrainerConfig.lr
+    if (args.tensor_parallel or args.context_parallel) and (
+            raw.get("model_type") == "hyena"):
+        p.error("--tensor-parallel/--context-parallel eval is only "
+                "supported for the caduceus/mamba families")
+    mesh = None
+    if args.mesh_model > 1:
+        from caduceus_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(model=args.mesh_model)
     dm = HG38DataModule(args.bed, args.fasta, max_length=args.max_length,
                         batch_size=args.batch_size, mlm=mlm)
     tcfg = TrainerConfig(run_dir=args.run_dir, lr=run_lr)
     trainer = Trainer(model, tcfg, dm.train_loader(), dm.eval_loader(args.split),
-                      lr_overrides=lr_overrides)
+                      mesh=mesh, lr_overrides=lr_overrides,
+                      tensor_parallel=args.tensor_parallel,
+                      context_parallel=args.context_parallel)
     trainer.init_state(next(iter(trainer.train_loader)))
     assert trainer.restore_checkpoint(), "no checkpoint found"
-    print(json.dumps(trainer.evaluate(max_batches=args.max_batches)))
+    print(json.dumps(trainer.evaluate(max_batches=args.max_batches,
+                                      prefix=args.split)))
 
 
 def cmd_generate(argv):

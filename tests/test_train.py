@@ -408,3 +408,36 @@ def test_cli_parallel_flag_validation(tmp_path):
         cli_main(["pretrain", "--fasta", "x", "--bed", "y",
                   "--mesh-model", "3", "--context-parallel",
                   "--max-length", "64"])  # 64 % 3 != 0
+
+
+def test_cli_eval_context_parallel(tmp_path):
+    """CLI-launched context-parallel EVAL: pretrain single-mesh, then score
+    a longer context with the sequence axis sharded over the 8-device
+    'model' axis — the checkpoint restores into the CP-sharded state and
+    the token-weighted eval metrics come back finite."""
+    import json as _json
+
+    from caduceus_tpu.cli import main as cli_main
+    from caduceus_tpu.data.synthetic import make_synthetic_genome
+
+    L = 1 << 10
+    fasta, bed = make_synthetic_genome(str(tmp_path), n_chromosomes=1,
+                                       chrom_len=1 << 13, window=L)
+    run = str(tmp_path / "run")
+    cli_main(["pretrain", "--fasta", fasta, "--bed", bed,
+              "--max-length", "256", "--batch-size", "8", "--max-steps", "2",
+              "--d-model", "16", "--n-layer", "2", "--dtype", "float32",
+              "--run-dir", run, "--prefetch", "0"])
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["eval", "--fasta", fasta, "--bed", bed, "--run-dir", run,
+                  "--split", "test", "--max-length", str(L),
+                  "--batch-size", "8", "--max-batches", "2",
+                  "--mesh-model", "8", "--context-parallel"])
+    out = [l for l in buf.getvalue().splitlines() if l.startswith("{")]
+    metrics = _json.loads(out[-1])
+    assert np.isfinite(metrics["test/loss"]) and metrics["test/ppl"] > 0
