@@ -146,6 +146,9 @@ def cmd_pretrain(argv):
                         "transfers concurrent with execution serialize — see "
                         "bench.py BENCH_PRESTAGE note)")
     p.add_argument("--ema-decay", type=float, default=0.0)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of a few steady-state "
+                        "steps into this directory (tensorboard-viewable)")
     p.add_argument("--model", default="caduceus",
                    choices=["caduceus", "mamba", "hyena"],
                    help="caduceus (BiMamba/RCPS, MLM or NTP); mamba = "
@@ -257,6 +260,7 @@ def cmd_pretrain(argv):
         ema_decay=args.ema_decay,
         dropout=dropout,
         prefetch=args.prefetch,
+        profile_dir=args.profile_dir,
     )
     from caduceus_tpu.utils.logging import make_logger, param_count
 

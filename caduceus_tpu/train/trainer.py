@@ -456,6 +456,9 @@ class Trainer:
                         break
             finally:
                 stream.close()
+                if self.cfg.profile_dir and 10 < step < 13:
+                    # run ended inside the trace window — close the trace
+                    jax.profiler.stop_trace()
         if not last_metrics and last_m is not None:
             m = jax.device_get(last_m)
             last_metrics = {
