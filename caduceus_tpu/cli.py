@@ -95,6 +95,14 @@ def _load_preset(argv):
     # boolean/flag-style settings
     model = tree.get("model") or {}
     data = tree.get("data") or {}
+    # hyena-family extras (`configs/model/hyena.yaml` analog): hybrid MHA
+    # layer placement + per-branch gradient checkpointing
+    if isinstance(model.get("attn_layer_idx"), (list, tuple)):
+        flat["attn_layer_idx"] = tuple(int(i) for i in model["attn_layer_idx"])
+    if "num_heads" in model:
+        flat["num_heads"] = model["num_heads"]
+    if model.get("checkpoint"):
+        flat["hyena_checkpoint"] = True
     if model.get("rcps") is False:
         flat["no_rcps"] = True
     if model.get("remat"):
@@ -156,6 +164,20 @@ def cmd_pretrain(argv):
                         "hyena = HyenaDNA-style NTP LM with dropout + "
                         "filter lr groups (`long_conv_lm.py`, "
                         "`configs/model/hyena.yaml`)")
+    # hyena-family structure flags (reference: `long_conv_lm.py:120-158`
+    # attn_layer_idx/attn_cfg select hybrid MHA layers; checkpoint_mixer/
+    # checkpoint_mlp at `long_conv_lm.py:33-39`). MHA runs the Pallas flash
+    # kernel on TPU (`ops/attention.py`).
+    p.add_argument("--attn-layer-idx",
+                   type=lambda s: tuple(int(x) for x in s.split(",") if x),
+                   default=(),
+                   help="comma-separated layer indices that use MHA instead "
+                        "of the Hyena mixer (--model hyena only)")
+    p.add_argument("--num-heads", type=int, default=8,
+                   help="MHA heads on hybrid attention layers")
+    p.add_argument("--hyena-checkpoint", action="store_true",
+                   help="remat the mixer and MLP branches per block "
+                        "(needed to train hyena at >=131k within HBM)")
     # multi-chip strategies (reference analog: auto-DDP when devices>1,
     # `train.py:629-639`; CP/TP are beyond-reference). The mesh is
     # (data, model): DP over 'data' is always on; --mesh-model N carves a
@@ -182,6 +204,10 @@ def cmd_pretrain(argv):
         p.error(f"--max-length {args.max_length} not divisible by "
                 f"--mesh-model {args.mesh_model} (context parallelism "
                 f"shards the sequence axis)")
+    if (args.attn_layer_idx or args.hyena_checkpoint) and args.model != "hyena":
+        p.error("--attn-layer-idx/--hyena-checkpoint require --model hyena")
+    if any(i < 0 or i >= args.n_layer for i in args.attn_layer_idx):
+        p.error(f"--attn-layer-idx entries must be in [0, {args.n_layer})")
 
     import jax
 
@@ -213,6 +239,10 @@ def cmd_pretrain(argv):
 
         hy = dict(d_model=args.d_model, n_layer=args.n_layer,
                   vocab_size=dm.tokenizer.vocab_size, l_max=args.max_length,
+                  attn_layer_idx=tuple(args.attn_layer_idx),
+                  num_heads=args.num_heads,
+                  checkpoint_mixer=args.hyena_checkpoint,
+                  checkpoint_mlp=args.hyena_checkpoint,
                   dtype=args.dtype)
         with open(os.path.join(args.run_dir, "model_config.json"), "w") as f:
             # "lr" recorded so eval/continued-training rebuilds the filter
@@ -339,6 +369,8 @@ def cmd_eval(argv):
         from caduceus_tpu.models.hyena import HyenaLMHeadModel
         from caduceus_tpu.train.optim import hyena_lr_overrides
 
+        if "attn_layer_idx" in raw:  # JSON stores the tuple as a list
+            raw["attn_layer_idx"] = tuple(raw["attn_layer_idx"])
         model = HyenaLMHeadModel(
             **{k: v for k, v in raw.items()
                if k not in ("model_type", "objective", "lr")}

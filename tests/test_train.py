@@ -263,6 +263,36 @@ def test_cli_pretrain_model_selection(tmp_path):
     assert art2["rcps"] is False and art2["bidirectional"] is False
 
 
+def test_cli_pretrain_hybrid_attention(tmp_path):
+    """Hybrid MHA hyena (`--attn-layer-idx`, reference attn_layer_idx on
+    `long_conv_lm.py:120-158`) + per-branch remat (`--hyena-checkpoint`)
+    are launchable from the CLI, persisted in model_config.json, and the
+    eval entry point rebuilds the same structure from the run dir."""
+    import json as _json
+
+    from caduceus_tpu.cli import main as cli_main
+    from caduceus_tpu.data.synthetic import make_synthetic_genome
+
+    fasta, bed = make_synthetic_genome(str(tmp_path), n_chromosomes=1,
+                                       chrom_len=1 << 11, window=1 << 9)
+    run = str(tmp_path / "hyat")
+    cli_main(["pretrain", "--fasta", fasta, "--bed", bed,
+              "--max-length", "64", "--batch-size", "8", "--max-steps", "2",
+              "--d-model", "16", "--n-layer", "2", "--dtype", "float32",
+              "--model", "hyena", "--ntp", "--run-dir", run,
+              "--attn-layer-idx", "1", "--num-heads", "4",
+              "--hyena-checkpoint"])
+    art = _json.load(open(f"{run}/model_config.json"))
+    assert art["attn_layer_idx"] == [1] and art["num_heads"] == 4
+    assert art["checkpoint_mixer"] and art["checkpoint_mlp"]
+    cli_main(["eval", "--fasta", fasta, "--bed", bed, "--run-dir", run,
+              "--max-length", "64", "--batch-size", "8", "--max-batches", "1"])
+    # misuse is rejected, not silently ignored
+    with pytest.raises(SystemExit):
+        cli_main(["pretrain", "--fasta", fasta, "--bed", bed,
+                  "--attn-layer-idx", "0", "--run-dir", str(tmp_path / "x")])
+
+
 def test_prefetch_stream_closes_worker_on_early_break():
     """Breaking out of a prefetch stream must stop the worker thread and
     release the loader, so a second stream sees a clean iterator (fit()
