@@ -56,6 +56,45 @@ def _make_classifier(cfg, num_labels, pooling, use_lengths, padding_side,
 
         return CNNClassifier()
 
+    if model_kind == "hyena":
+        # HyenaDNA-style backbone finetuning — the reference's
+        # `model: dna_embedding` downstream recipe
+        # (`configs/experiment/hg38/genomic_benchmark.yaml:31-32`,
+        # `src/models/sequence/dna_embedding.py:27-96`): LMBackbone hidden
+        # states (no LM head) into the SequenceDecoder. Here ``cfg`` is the
+        # HyenaLMBackbone kwargs dict from the pretrain run's
+        # model_config.json. Non-rcps, so post-hoc conjoining (B, L, 2)
+        # works the same as for the plain caduceus path.
+        from caduceus_tpu.models.hyena import HyenaLMBackbone
+
+        assert encoder in ("id", "stop", "identity"), (
+            "encoders are a caduceus-path feature; hyena embeds its own tokens"
+        )
+        hy = dict(cfg)
+        hy["attn_layer_idx"] = tuple(hy.get("attn_layer_idx", ()))
+
+        class HyenaDNAClassifier(nn.Module):
+            @nn.compact
+            def __call__(self, ids, lengths=None, train=False):
+                backbone = HyenaLMBackbone(**hy, name="backbone")
+                dec = SequenceDecoder(
+                    num_labels, mode=pooling,
+                    use_lengths=use_lengths, padding_side=padding_side,
+                    name="decoder",
+                )
+                if not use_lengths:
+                    lengths = None
+                if ids.ndim == 3:  # conjoined (B, L, 2) strands
+                    h_f, _ = backbone(ids[..., 0], train=train)
+                    h_r, _ = backbone(ids[..., 1], train=train)
+                    x = jnp.stack([h_f, h_r], axis=-1)
+                else:
+                    x, _ = backbone(ids, train=train)
+                logits = dec(x, lengths)
+                return logits.astype(jnp.float32)
+
+        return HyenaDNAClassifier()
+
     if encoder not in ("id", "stop", "identity"):
         assert not cfg.rcps, (
             "non-identity encoders bypass the complement map; use rcps=False"
@@ -162,13 +201,17 @@ def finetune_one(
     )
     opt_state = tx.init(params)
 
-    def loss_fn(p, extra, ids, labels, lengths):
+    def loss_fn(p, extra, ids, labels, lengths, dr):
+        # hyena backbones carry embed/resid dropout (train=True path); the
+        # rng stream is ignored by dropout-free models
         if extra:
             logits, new_extra = model.apply(
-                {**p, **extra}, ids, lengths, True, mutable=list(extra)
+                {**p, **extra}, ids, lengths, True, mutable=list(extra),
+                rngs={"dropout": dr},
             )
         else:
-            logits, new_extra = model.apply(p, ids, lengths, True), extra
+            logits = model.apply(p, ids, lengths, True, rngs={"dropout": dr})
+            new_extra = extra
         # problem-type dispatch (`modeling_caduceus.py:612-631`)
         if problem_type == "regression":
             # head emits (B, 1) (num_labels == 1); labels are float (B,)
@@ -189,9 +232,9 @@ def finetune_one(
         )
 
     @jax.jit
-    def train_step(p, o, extra, ids, labels, lengths):
+    def train_step(p, o, extra, ids, labels, lengths, dr):
         (loss, (_, extra)), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, extra, ids, labels, lengths
+            p, extra, ids, labels, lengths, dr
         )
         if freeze_backbone:
             g = zero_backbone_grads(g)
@@ -256,11 +299,14 @@ def finetune_one(
     best_val = np.inf if problem_type == "regression" else -np.inf
     best_params, best_extra = params, extra0
     extra = extra0
+    dr_rng = jax.random.PRNGKey(seed ^ 0x5EED)
     for epoch in range(epochs):
         for batch in dm.batches("train", epoch=epoch, seed=seed):
+            dr_rng, dr = jax.random.split(dr_rng)
             params, opt_state, extra, loss = train_step(
                 params, opt_state, extra, jnp.asarray(batch["input_ids"]),
                 jnp.asarray(batch["labels"]), jnp.asarray(batch["lengths"]),
+                dr,
             )
         val = eval_split(params, extra, "val")
         score = val[sel_metric]  # loud KeyError beats silent wrong selection
@@ -313,9 +359,14 @@ def main(argv=None):
     p.add_argument("--conjoin-test", action="store_true")
     p.add_argument("--rc-aug", action="store_true")
     p.add_argument("--metric", default="all")
-    p.add_argument("--model", default="caduceus", choices=["caduceus", "cnn"],
+    p.add_argument("--model", default="caduceus",
+                   choices=["caduceus", "hyena", "cnn"],
                    help="cnn = from-scratch GenomicsBenchmarkCNN baseline "
-                        "(`configs/experiment/hg38/genomic_benchmark_cnn.yaml`)")
+                        "(`configs/experiment/hg38/genomic_benchmark_cnn.yaml`); "
+                        "hyena = HyenaDNA-style backbone (`model: "
+                        "dna_embedding`, `dna_embedding.py:27-96`) — "
+                        "auto-selected when --pretrained-run-dir points at a "
+                        "hyena pretrain run")
     p.add_argument("--d-model", type=int, default=128)
     p.add_argument("--n-layer", type=int, default=4)
     p.add_argument("--no-rcps", action="store_true")
@@ -346,7 +397,25 @@ def main(argv=None):
         os.path.join(args.pretrained_run_dir, "model_config.json")
         if args.pretrained_run_dir else None
     )
+    raw_cfg = None
     if cfg_path and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            raw_cfg = json.load(f)
+    model_kind = args.model
+    hyena_run_lr = None
+    if raw_cfg is not None and raw_cfg.get("model_type") == "hyena":
+        if args.model == "cnn":
+            p.error("--model cnn trains from scratch; it cannot take a "
+                    "hyena pretrained run dir")
+        model_kind = "hyena"  # the run dir decides the backbone family
+        cfg = {k: v for k, v in raw_cfg.items()
+               if k not in ("model_type", "objective", "lr")}
+        hyena_run_lr = raw_cfg.get("lr", 6e-4)
+    elif model_kind == "hyena":
+        # from-scratch HyenaDNA-style backbone (no pretrain run)
+        cfg = dict(d_model=args.d_model, n_layer=args.n_layer,
+                   vocab_size=tok.vocab_size, l_max=args.max_length)
+    elif raw_cfg is not None:
         cfg = CaduceusConfig.load(cfg_path)
         cfg.complement_map = tok.complement_map
     else:
@@ -355,6 +424,9 @@ def main(argv=None):
             ssm_cfg=SSMConfig(), rcps=not args.no_rcps,
             complement_map=tok.complement_map,
         )
+    if model_kind == "hyena" and args.encoder not in ("id", "stop", "identity"):
+        p.error("--encoder is a caduceus-path feature (--model hyena embeds "
+                "its own tokens)")
 
     if args.conjoin_train or args.conjoin_test:
         if args.model == "cnn":
@@ -363,7 +435,7 @@ def main(argv=None):
             # wasted training epoch
             p.error("--conjoin-train/--conjoin-test are not supported by "
                     "--model cnn (it takes plain (B, L) ids)")
-        if cfg.rcps:
+        if model_kind == "caduceus" and cfg.rcps:
             # Reference semantics (`modeling_caduceus.py:562-592`): rcps and
             # conjoin are mutually exclusive backbone modes — conjoining is
             # the post-hoc (Caduceus-Ph) recipe for NON-rcps models. Fail
@@ -386,11 +458,29 @@ def main(argv=None):
 
         ckpt_dir = os.path.join(args.pretrained_run_dir, "checkpoints")
         if latest_step(ckpt_dir) is not None:
-            mlm = CaduceusForMaskedLM(cfg)
-            template_params = mlm.init(
-                jax.random.PRNGKey(0), np.zeros((1, 8), np.int32)
-            )
-            tx, _ = make_optimizer()
+            if model_kind == "hyena":
+                # the hyena pretrain optimizer carries lr-override state
+                # (filter lr groups, `train/optim.py` hyena_lr_overrides) —
+                # the restore template's opt_state pytree must match it
+                from caduceus_tpu.models.hyena import HyenaLMHeadModel
+                from caduceus_tpu.train.optim import hyena_lr_overrides
+
+                hy = dict(cfg)
+                hy["attn_layer_idx"] = tuple(hy.get("attn_layer_idx", ()))
+                lm = HyenaLMHeadModel(**hy)
+                template_params = lm.init(
+                    jax.random.PRNGKey(0), np.zeros((1, 8), np.int32)
+                )
+                tx, _ = make_optimizer(
+                    lr=hyena_run_lr, params_example=template_params,
+                    lr_overrides=hyena_lr_overrides(hyena_run_lr),
+                )
+            else:
+                mlm = CaduceusForMaskedLM(cfg)
+                template_params = mlm.init(
+                    jax.random.PRNGKey(0), np.zeros((1, 8), np.int32)
+                )
+                tx, _ = make_optimizer()
             template = TrainState(template_params, tx.init(template_params),
                                   jnp.zeros((), jnp.int32))
             state, _ = restore_checkpoint(ckpt_dir, template)
@@ -433,7 +523,7 @@ def main(argv=None):
             problem_type=args.problem_type,
             freeze_backbone=args.freeze_backbone,
             use_lengths=args.use_lengths, layer_decay=args.layer_decay,
-            encoder=args.encoder, model_kind=args.model,
+            encoder=args.encoder, model_kind=model_kind,
         )
         r["seed"] = seed
         results.append(r)

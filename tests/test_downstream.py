@@ -128,6 +128,45 @@ def test_finetune_from_pretrained_graft(task_dir):
     assert "test_accuracy" in res
 
 
+def test_finetune_hyena_backbone(task_dir):
+    # hyena-family downstream recipe (`model: dna_embedding`,
+    # `configs/experiment/hg38/genomic_benchmark.yaml:31-32`): LMBackbone
+    # hidden states + SequenceDecoder, trained with embed dropout
+    from caduceus_tpu.finetune import finetune_one
+    from caduceus_tpu.tokenization import CharacterTokenizer
+
+    tok = CharacterTokenizer()
+    hy = dict(d_model=16, n_layer=2, vocab_size=tok.vocab_size, l_max=64)
+    dm = ClassificationDataModule(task_dir, "demo", max_length=64, batch_size=16)
+    res = finetune_one(hy, dm, num_labels=2, epochs=3, lr=2e-3,
+                       model_kind="hyena", log_fn=lambda m: None)
+    assert res["test_accuracy"] > 0.55, res
+
+
+def test_finetune_hyena_from_pretrained_cli(task_dir, tmp_path):
+    """End-to-end through the shipped entry points: hyena CLI pretrain, then
+    finetune auto-detects the backbone family from the run dir's
+    model_config.json and grafts the backbone (`load_backbone`,
+    `dna_embedding.py:198-255`)."""
+    from caduceus_tpu.cli import main as cli_main
+    from caduceus_tpu.data.synthetic import make_synthetic_genome
+    from caduceus_tpu.finetune import main as finetune_main
+
+    fasta, bed = make_synthetic_genome(str(tmp_path), n_chromosomes=1,
+                                       chrom_len=1 << 11, window=1 << 9)
+    run = str(tmp_path / "hy_pre")
+    cli_main(["pretrain", "--fasta", fasta, "--bed", bed,
+              "--max-length", "64", "--batch-size", "8", "--max-steps", "2",
+              "--d-model", "16", "--n-layer", "2", "--dtype", "float32",
+              "--model", "hyena", "--ntp", "--run-dir", run])
+    summary = finetune_main([
+        "--data-dir", task_dir, "--task", "demo", "--max-length", "64",
+        "--batch-size", "16", "--epochs", "1", "--lr", "1e-3",
+        "--pretrained-run-dir", run, "--seeds", "0",
+    ])
+    assert "mean_test_accuracy" in summary
+
+
 def test_cnn_baseline(task_dir):
     from caduceus_tpu.models.cnn import GenomicsBenchmarkCNN
 
