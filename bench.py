@@ -106,9 +106,16 @@ def main():
     if bench_model == "hyena":
         from caduceus_tpu.models.hyena import HyenaLMHeadModel
 
+        # BENCH_ATTN_LAYER_IDX=i,j swaps those mixers for MHA (Pallas flash
+        # attention on TPU, `ops/attention.py`) — the reference's hybrid
+        # `attn_layer_idx` configs (`long_conv_lm.py:120-158`)
+        attn_idx = tuple(
+            int(i) for i in
+            os.environ.get("BENCH_ATTN_LAYER_IDX", "").split(",") if i)
         model = HyenaLMHeadModel(
             d_model=256, n_layer=n_layer, vocab_size=tok.vocab_size,
-            l_max=seqlen, embed_dropout=0.0, resid_dropout=0.0,
+            l_max=seqlen, attn_layer_idx=attn_idx,
+            embed_dropout=0.0, resid_dropout=0.0,
             checkpoint_mixer=True, checkpoint_mlp=True, dtype="bfloat16")
     else:
         model = CaduceusForMaskedLM(cfg)
