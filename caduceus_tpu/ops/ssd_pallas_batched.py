@@ -1,0 +1,566 @@
+"""Head-batched Pallas TPU kernels for the SSD (Mamba-2) scan.
+
+Same math as `ops/ssd_pallas.py` (see its module docstring for the chunk
+algebra and the adjoint derivation) restructured so the MXU sees few, wide
+matmuls instead of a per-head loop of (T, T) @ (T, P=64) ops:
+
+- The state lives as ``(N, H·P)`` instead of ``(H·N, P)``.  With the
+  mamba-ssm default ``ngroups=1`` every cross-chunk quantity then batches
+  over ALL heads in one full-width matmul:
+
+      y_cross  = ecum ⊙ (C  @ h_state)          (T, N) @ (N, H·P)
+      h_state' = e_end ⊙ h_state + Bᵀ @ (w ⊙ dx) (N, T) @ (T, H·P)
+      B @ λ, Cᵀ @ (ecum ⊙ g_y), gB/gC second terms, ...
+
+  (for ngroups > 1 the same holds per group over its contiguous
+  ``rep·P``-wide column block).
+
+- Per-head work is only what is irreducibly per-head: the in-chunk decay
+  mask ``Lm_h`` (the decay is scalar per head) and its (T, T) products.
+  With the default chunk T=128 (= one MXU tile) that is T exps per
+  position per head — ~8× less (T, T) VPU work than the chunk-512
+  configuration of the base kernel, while the cross-chunk bridging that
+  T=512 amortized now runs as the full-width batched matmuls above.
+
+- Per-head (T, H)-shaped scalars (dt, exp(cum), w, ...) are expanded to
+  (T, H·P) lane layout by a 0/1 selector matmul ``vals @ SEL`` (SEL is
+  (H, H·P) with SEL[h, h·P:(h+1)·P] = 1), HIGHEST precision so fp32
+  values survive the MXU (same policy as the cum matmuls — see the
+  bf16-MXU cumsum note in `ops/ssd_pallas.py`).
+
+Interface-compatible with `ops/ssd_pallas.py` (`ssd_pallas`,
+`ssd_pallas_chained`); numerics match `ops/ssd.py ssd_chunked` under the
+same precision policy (matmul operands in the storage dtype, fp32
+accumulation, fp32 state carry). Oracle/grad parity in
+tests/test_ssd_pallas_batched.py; on-device gate rows in
+scripts/verify_tpu.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from caduceus_tpu.ops.ssd_pallas import (
+    _carry_dtype,
+    _cum_masks,
+    _mm,
+    _pad_ssd,
+    _resolve_dt_tile,
+    _CONTRACT_0,
+    _CONTRACT_1,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _sel(H: int, P: int):
+    """(H, H·P) selector: SEL[h, j] = 1 iff j // P == h (fp32)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, H * P), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, H * P), 1)
+    return (cols // P == rows).astype(jnp.float32)
+
+
+def _selT(H: int, P: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H * P, H), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H * P, H), 1)
+    return (rows // P == cols).astype(jnp.float32)
+
+
+def _hi_mm(a, b):
+    """fp32-exactness matmul (expansions / reductions of fp32 scalars)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+
+
+def _fwd_kernel(
+    x_ref, dt_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, h0_ref,
+    *rest,
+    T: int, nci: int, H: int, Pd: int, NG: int, N: int,
+    reverse: bool, dt_softplus: bool, save_carries: bool, mm_dtype,
+):
+    if save_carries:
+        y_ref, hN_ref, car_ref, h_s = rest
+    else:
+        y_ref, hN_ref, h_s = rest
+    ci = pl.program_id(1)
+    rep = H // NG
+
+    @pl.when(ci == 0)
+    def _():
+        h_s[...] = h0_ref[0]
+
+    keep, Mcum, _ = _cum_masks(T, reverse)
+    SEL = _sel(H, Pd)
+    D_x = _hi_mm(D_ref[...], SEL)                         # (1, H·P)
+
+    order = range(nci - 1, -1, -1) if reverse else range(nci)
+    for c in order:
+        o = c * T
+        if save_carries:
+            car_ref[0, c] = h_s[...].astype(car_ref.dtype)
+        dt = _resolve_dt_tile(dt_ref[0, o:o + T], bias_ref, dt_softplus)
+        a = dt * A_ref[...]                               # (T, H), <= 0
+        cum = jax.lax.dot_general(
+            Mcum, a, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )                                                 # (T, H) inclusive
+        total = jnp.sum(a, axis=0, keepdims=True)         # (1, H)
+        ecum_x = _hi_mm(jnp.exp(cum), SEL)                # (T, H·P)
+        w_x = _hi_mm(jnp.exp(total - cum), SEL)
+        e_end_x = _hi_mm(jnp.exp(total), SEL)             # (1, H·P)
+        dt_x = _hi_mm(dt, SEL)
+        cum_rows = jnp.transpose(cum)                     # (H, T)
+
+        xf = x_ref[0, o:o + T, :].astype(jnp.float32)     # (T, H·P)
+        dx = dt_x * xf
+        wdx = w_x * dx
+        Bm = B_ref[0, o:o + T, :]
+        Cm = C_ref[0, o:o + T, :]
+
+        y_cross_cols = []
+        y_diag_cols = []
+        for g in range(NG):
+            Bg = Bm[:, g * N:(g + 1) * N]
+            Cg = Cm[:, g * N:(g + 1) * N]
+            CB = _mm(Cg, Bg, mm_dtype, _CONTRACT_1)       # (T, T)
+            lo, hi = g * rep * Pd, (g + 1) * rep * Pd
+            h_in = h_s[:, lo:hi]                          # (N, rep·P) fp32
+            y_cross_cols.append(_mm(Cg, h_in, mm_dtype))  # (T, rep·P)
+            for r_i in range(rep):
+                h = g * rep + r_i
+                seg = cum[:, h:h + 1] - cum_rows[h:h + 1, :]
+                Lm = jnp.exp(jnp.where(keep, seg, -jnp.inf))
+                y_diag_cols.append(
+                    _mm(CB * Lm, dx[:, h * Pd:(h + 1) * Pd], mm_dtype))
+            S = _mm(Bg, wdx[:, lo:hi], mm_dtype, _CONTRACT_0)  # (N, rep·P)
+            h_s[:, lo:hi] = e_end_x[0:1, lo:hi] * h_in + S
+
+        y = (jnp.concatenate(y_diag_cols, axis=1)
+             + ecum_x * jnp.concatenate(y_cross_cols, axis=1)
+             + D_x * xf)
+        y_ref[0, o:o + T, :] = y.astype(y_ref.dtype)
+
+    hN_ref[0] = h_s[...]
+
+
+def ssd_pallas_batched_fwd_impl(
+    x, dt, A, B_mat, C, D, dt_bias,
+    dt_softplus: bool,
+    reverse: bool,
+    chunk_size: int = 128,
+    interpret: bool = False,
+    save_carries: bool = False,
+    h_init=None,          # (G, H, N, P) fp32 (caller layout)
+    seg_chunks: int = 8,
+):
+    G, L, H, Pd = x.shape
+    NG, N = B_mat.shape[-2], B_mat.shape[-1]
+    T = min(chunk_size, L)
+    nci = max(1, min(seg_chunks, -(-L // T)))
+    Ts = T * nci
+
+    x3 = x.reshape(G, L, H * Pd)
+    B3 = B_mat.reshape(G, L, NG * N)
+    C3 = C.reshape(G, L, NG * N)
+    tensors = [x3, dt, B3, C3]
+    if L % Ts != 0:
+        tensors = _pad_ssd(tensors, Ts - L % Ts, dt_softplus, dt_bias, H)
+    Lp = tensors[0].shape[1]
+    nseg = Lp // Ts
+
+    A_in = jnp.asarray(A, jnp.float32).reshape(1, H)
+    D_in = (jnp.zeros((1, H), jnp.float32) if D is None
+            else jnp.asarray(D, jnp.float32).reshape(1, H))
+    bias_in = (jnp.zeros((1, H), jnp.float32) if dt_bias is None
+               else jnp.asarray(dt_bias, jnp.float32).reshape(1, H))
+    # state layout (N, H·P): head-contiguous columns
+    h0_in = (jnp.zeros((G, N, H * Pd), jnp.float32) if h_init is None
+             else jnp.asarray(h_init, jnp.float32).transpose(0, 2, 1, 3)
+             .reshape(G, N, H * Pd))
+
+    cmap = ((lambda g, i: (g, nseg - 1 - i, 0)) if reverse
+            else (lambda g, i: (g, i, 0)))
+    full2 = lambda g, i: (0, 0)
+    smap = lambda g, i: (g, 0, 0)
+
+    xd_spec = pl.BlockSpec((1, Ts, H * Pd), cmap, memory_space=pltpu.VMEM)
+    dt_spec = pl.BlockSpec((1, Ts, H), cmap, memory_space=pltpu.VMEM)
+    bc_spec = pl.BlockSpec((1, Ts, NG * N), cmap, memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, H), full2, memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((1, N, H * Pd), smap, memory_space=pltpu.VMEM)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((G, Lp, H * Pd), x.dtype),
+        jax.ShapeDtypeStruct((G, N, H * Pd), jnp.float32),
+    ]
+    out_specs = [xd_spec, st_spec]
+    if save_carries:
+        out_shape.append(
+            jax.ShapeDtypeStruct((G, nseg * nci, N, H * Pd),
+                                 _carry_dtype(x.dtype)))
+        out_specs.append(pl.BlockSpec(
+            (1, nci, N, H * Pd),
+            (lambda g, i: (g, nseg - 1 - i, 0, 0)) if reverse
+            else (lambda g, i: (g, i, 0, 0)),
+            memory_space=pltpu.VMEM,
+        ))
+
+    kernel = functools.partial(
+        _fwd_kernel, T=T, nci=nci, H=H, Pd=Pd, NG=NG, N=N, reverse=reverse,
+        dt_softplus=dt_softplus, save_carries=save_carries, mm_dtype=x.dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, nseg),
+        in_specs=[xd_spec, dt_spec, bc_spec, bc_spec, h_spec, h_spec, h_spec,
+                  st_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((N, H * Pd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*tensors, A_in, D_in, bias_in, h0_in)
+
+    def st_out(h):  # (G, N, H·P) -> (G, H, N, P)
+        return h.reshape(G, N, H, Pd).transpose(0, 2, 1, 3)
+
+    if save_carries:
+        y, hN, carries = out
+        return (y[:, :L].reshape(G, L, H, Pd), st_out(hN), carries, T, nci)
+    y, hN = out
+    return y[:, :L].reshape(G, L, H, Pd), st_out(hN)
+
+
+# ===========================================================================
+# Backward kernel
+# ===========================================================================
+
+def _bwd_kernel(
+    x_ref, dt_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, gy_ref, car_ref,
+    ghN_ref,
+    gx_ref, gdt_ref, gB_ref, gC_ref, gA_ref, gbias_ref, gD_ref, gh0_ref,
+    lam_s, acc_s,
+    *,
+    T: int, nci: int, H: int, Pd: int, NG: int, N: int,
+    reverse: bool, dt_softplus: bool, mm_dtype,
+):
+    gi = pl.program_id(0)
+    ci = pl.program_id(1)
+    rep = H // NG
+
+    @pl.when(jnp.logical_and(gi == 0, ci == 0))
+    def _():
+        acc_s[...] = jnp.zeros_like(acc_s)  # rows: [g_A; g_bias; g_D]
+
+    @pl.when(ci == 0)
+    def _():
+        lam_s[...] = ghN_ref[0]
+
+    keep, Mcum, McumT = _cum_masks(T, reverse)
+    SEL = _sel(H, Pd)
+    SELT = _selT(H, Pd)
+    D_x = _hi_mm(D_ref[...], SEL)
+    last_t = 0 if reverse else T - 1
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) == last_t
+              ).astype(jnp.float32)
+    ones = jnp.ones((T, 1), jnp.float32)
+    A_row = A_ref[...]
+
+    order = range(nci) if reverse else range(nci - 1, -1, -1)
+    for c in order:
+        o = c * T
+        dt = _resolve_dt_tile(dt_ref[0, o:o + T], bias_ref, dt_softplus)
+        a = dt * A_row
+        cum = jax.lax.dot_general(
+            Mcum, a, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        total = jnp.sum(a, axis=0, keepdims=True)
+        ecum = jnp.exp(cum)
+        w = jnp.exp(total - cum)
+        ecum_x = _hi_mm(ecum, SEL)
+        w_x = _hi_mm(w, SEL)
+        e_end_x = _hi_mm(jnp.exp(total), SEL)
+        dt_x = _hi_mm(dt, SEL)
+        cum_rows = jnp.transpose(cum)
+
+        xf = x_ref[0, o:o + T, :].astype(jnp.float32)     # (T, H·P)
+        gy = gy_ref[0, o:o + T, :].astype(jnp.float32)
+        dx = dt_x * xf
+        wdx = w_x * dx
+        gy_e = ecum_x * gy
+        Bm = B_ref[0, o:o + T, :]
+        Cm = C_ref[0, o:o + T, :]
+        h0 = car_ref[0, c].astype(jnp.float32)            # (N, H·P)
+
+        gdx_cols = []
+        rowcol_cols = []
+        Ch_cols = []
+        Blam_cols = []
+        for g in range(NG):
+            Bg = Bm[:, g * N:(g + 1) * N]
+            Cg = Cm[:, g * N:(g + 1) * N]
+            CB = _mm(Cg, Bg, mm_dtype, _CONTRACT_1)       # (T, T)
+            lo, hi = g * rep * Pd, (g + 1) * rep * Pd
+            lam_g = lam_s[:, lo:hi]                       # (N, rep·P) fp32
+            h_in = h0[:, lo:hi]
+            Blam = _mm(Bg, lam_g, mm_dtype)               # (T, rep·P)
+            Ch = _mm(Cg, h_in, mm_dtype)                  # (T, rep·P)
+            Blam_cols.append(Blam)
+            Ch_cols.append(Ch)
+
+            LG_sum = jnp.zeros((T, T), jnp.float32)
+            for r_i in range(rep):
+                h = g * rep + r_i
+                gyh = gy[:, h * Pd:(h + 1) * Pd]
+                dxh = dx[:, h * Pd:(h + 1) * Pd]
+                seg = cum[:, h:h + 1] - cum_rows[h:h + 1, :]
+                Lm = jnp.exp(jnp.where(keep, seg, -jnp.inf))
+                G_ts = _mm(gyh, dxh, mm_dtype, _CONTRACT_1)   # (T, T)
+                LG = Lm * G_ts
+                LG_sum = LG_sum + LG
+                LGCB = LG * CB
+                row_r = _mm(LGCB, ones, jnp.float32)               # (T, 1)
+                col_c = _mm(LGCB, ones, jnp.float32, _CONTRACT_0)  # (T, 1)
+                rowcol_cols.append(row_r - col_c)
+                gdx_cols.append(_mm(CB * Lm, gyh, mm_dtype, _CONTRACT_0))
+
+            # group-batched terms
+            S = _mm(Bg, wdx[:, lo:hi], mm_dtype, _CONTRACT_0)  # (N, rep·P)
+            h_out = e_end_x[0:1, lo:hi] * h_in + S
+            gC_g = (_mm(LG_sum, Bg, mm_dtype)
+                    + _mm(gy_e[:, lo:hi], h_in, mm_dtype, _CONTRACT_1))
+            gB_g = (_mm(LG_sum, Cg, mm_dtype, _CONTRACT_0)
+                    + _mm(wdx[:, lo:hi], lam_g, mm_dtype, _CONTRACT_1))
+            gB_ref[0, o:o + T, g * N:(g + 1) * N] = gB_g.astype(gB_ref.dtype)
+            gC_ref[0, o:o + T, g * N:(g + 1) * N] = gC_g.astype(gC_ref.dtype)
+
+            # gend (per head, scalar): Σ_{n,p} λ·h_out per head column-block
+            gend_row = _hi_mm(
+                jnp.sum(lam_g * h_out, axis=0, keepdims=True),
+                SELT[lo:hi, :])                                    # (1, H)
+            if g == 0:
+                gend_all = gend_row
+            else:
+                gend_all = gend_all + gend_row
+
+            lam_s[:, lo:hi] = (
+                e_end_x[0:1, lo:hi] * lam_g
+                + _mm(Cg, gy_e[:, lo:hi], mm_dtype, _CONTRACT_0))
+
+        Blam_full = jnp.concatenate(Blam_cols, axis=1)    # (T, H·P)
+        Ch_full = jnp.concatenate(Ch_cols, axis=1)
+        g_dx = jnp.concatenate(gdx_cols, axis=1) + w_x * Blam_full
+        q = ecum * _hi_mm(gy * Ch_full, SELT)             # (T, H)
+        uterm = w * _hi_mm(dx * Blam_full, SELT)
+        rowcol = jnp.concatenate(rowcol_cols, axis=1)     # (T, H)
+        g_cum = rowcol + q - uterm + onehot * gend_all
+
+        g_a = jax.lax.dot_general(
+            McumT, g_cum, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        g_dt = A_row * g_a + _hi_mm(xf * g_dx, SELT)
+        if dt_softplus:
+            g_dt = g_dt * (1.0 - jnp.exp(-dt))
+        gdt_ref[0, o:o + T] = g_dt.astype(gdt_ref.dtype)
+
+        g_x = dt_x * g_dx + D_x * gy
+        gx_ref[0, o:o + T, :] = g_x.astype(gx_ref.dtype)
+
+        acc_s[0:1] = acc_s[0:1] + jnp.sum(dt * g_a, axis=0, keepdims=True)
+        acc_s[1:2] = acc_s[1:2] + jnp.sum(g_dt, axis=0, keepdims=True)
+        acc_s[2:3] = acc_s[2:3] + _hi_mm(
+            jnp.sum(gy * xf, axis=0, keepdims=True), SELT)
+
+    gh0_ref[0] = lam_s[...]
+    gA_ref[...] = acc_s[0:1]
+    gbias_ref[...] = acc_s[1:2]
+    gD_ref[...] = acc_s[2:3]
+
+
+def ssd_pallas_batched_bwd_impl(
+    x, dt, A, B_mat, C, D, dt_bias, g_y, carries,
+    dt_softplus: bool,
+    reverse: bool,
+    T: int,
+    nci: int,
+    interpret: bool = False,
+    g_hN=None,  # (G, H, N, P)
+):
+    """Returns (g_x, g_dt, g_A, g_B, g_C, g_D, g_bias, g_h0)."""
+    G, L, H, Pd = x.shape
+    NG, N = B_mat.shape[-2], B_mat.shape[-1]
+    nc = carries.shape[1]
+    nseg = nc // nci
+    Ts = T * nci
+    Lp = nc * T
+
+    x3 = x.reshape(G, L, H * Pd)
+    B3 = B_mat.reshape(G, L, NG * N)
+    C3 = C.reshape(G, L, NG * N)
+    gy3 = g_y.reshape(G, L, H * Pd)
+    tensors = [x3, dt, B3, C3, gy3]
+    if L % Ts != 0:
+        tensors = _pad_ssd(tensors, Lp - L, dt_softplus, dt_bias, H)
+    x_p, dt_p, B_p, C_p, gy_p = tensors
+
+    A_in = jnp.asarray(A, jnp.float32).reshape(1, H)
+    D_in = (jnp.zeros((1, H), jnp.float32) if D is None
+            else jnp.asarray(D, jnp.float32).reshape(1, H))
+    bias_in = (jnp.zeros((1, H), jnp.float32) if dt_bias is None
+               else jnp.asarray(dt_bias, jnp.float32).reshape(1, H))
+    ghN_in = (jnp.zeros((G, N, H * Pd), jnp.float32) if g_hN is None
+              else jnp.asarray(g_hN, jnp.float32).transpose(0, 2, 1, 3)
+              .reshape(G, N, H * Pd))
+
+    cmap = ((lambda g, i: (g, i, 0)) if reverse
+            else (lambda g, i: (g, nseg - 1 - i, 0)))
+    car_map = ((lambda g, i: (g, i, 0, 0)) if reverse
+               else (lambda g, i: (g, nseg - 1 - i, 0, 0)))
+    full2 = lambda g, i: (0, 0)
+    smap = lambda g, i: (g, 0, 0)
+
+    xd_spec = pl.BlockSpec((1, Ts, H * Pd), cmap, memory_space=pltpu.VMEM)
+    dt_spec = pl.BlockSpec((1, Ts, H), cmap, memory_space=pltpu.VMEM)
+    bc_spec = pl.BlockSpec((1, Ts, NG * N), cmap, memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, H), full2, memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((1, N, H * Pd), smap, memory_space=pltpu.VMEM)
+    car_spec = pl.BlockSpec((1, nci, N, H * Pd), car_map,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _bwd_kernel, T=T, nci=nci, H=H, Pd=Pd, NG=NG, N=N, reverse=reverse,
+        dt_softplus=dt_softplus, mm_dtype=x.dtype,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G, nseg),
+        in_specs=[xd_spec, dt_spec, bc_spec, bc_spec, h_spec, h_spec, h_spec,
+                  xd_spec, car_spec, st_spec],
+        out_specs=(xd_spec, dt_spec, bc_spec, bc_spec, h_spec, h_spec,
+                   h_spec, st_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lp, H * Pd), x.dtype),
+            jax.ShapeDtypeStruct((G, Lp, H), dt.dtype),
+            jax.ShapeDtypeStruct((G, Lp, NG * N), B_mat.dtype),
+            jax.ShapeDtypeStruct((G, Lp, NG * N), C.dtype),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((G, N, H * Pd), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, H * Pd), jnp.float32),  # λ carry
+            pltpu.VMEM((3, H), jnp.float32),       # [g_A; g_bias; g_D]
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_p, dt_p, B_p, C_p, A_in, D_in, bias_in, gy_p, carries, ghN_in)
+    g_x, g_dt, g_B, g_C, g_A, g_bias, g_D, g_h0 = outs
+    g_bias_v = g_bias[0]
+    if Lp != L and not dt_softplus:
+        g_bias_v = jnp.sum(g_dt[:, :L].astype(jnp.float32), axis=(0, 1))
+    return (
+        g_x[:, :L].reshape(G, L, H, Pd),
+        g_dt[:, :L],
+        g_A[0].astype(jnp.asarray(A).dtype),
+        g_B[:, :L].reshape(G, L, NG, N),
+        g_C[:, :L].reshape(G, L, NG, N),
+        g_D[0],
+        g_bias_v,
+        g_h0.reshape(G, N, H, Pd).transpose(0, 2, 1, 3),
+    )
+
+
+# ===========================================================================
+# custom_vjp wrappers (interface-compatible with ops/ssd_pallas.py)
+# ===========================================================================
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def ssd_pallas_batched_chained(
+    x, dt, A, B_mat, C, D, dt_bias, h_init,
+    dt_softplus: bool = True,
+    reverse: bool = False,
+    chunk_size: int = 128,
+    interpret: bool = False,
+    seg_chunks: int = 8,
+):
+    """Head-batched chained Pallas SSD scan: returns (y, h_final)."""
+    return ssd_pallas_batched_fwd_impl(
+        x, dt, A, B_mat, C, D, dt_bias, dt_softplus, reverse, chunk_size,
+        interpret, save_carries=False, h_init=h_init, seg_chunks=seg_chunks,
+    )
+
+
+def _chained_fwd(x, dt, A, B_mat, C, D, dt_bias, h_init,
+                 dt_softplus, reverse, chunk_size, interpret, seg_chunks):
+    y, hN, carries, T, nci = ssd_pallas_batched_fwd_impl(
+        x, dt, A, B_mat, C, D, dt_bias, dt_softplus, reverse, chunk_size,
+        interpret, save_carries=True, h_init=h_init, seg_chunks=seg_chunks,
+    )
+    return (y, hN), (x, dt, A, B_mat, C, D, dt_bias, carries, T, nci)
+
+
+def _chained_bwd(dt_softplus, reverse, chunk_size, interpret, seg_chunks,
+                 residuals, g):
+    x, dt, A, B_mat, C, D, dt_bias, carries, T, nci = residuals
+    g_y, g_hN = g
+    (g_x, g_dt, g_A, g_B, g_C, g_D, g_bias, g_h0) = ssd_pallas_batched_bwd_impl(
+        x, dt, A, B_mat, C, D, dt_bias, g_y.astype(x.dtype), carries,
+        dt_softplus, reverse, T, nci, interpret, g_hN=g_hN,
+    )
+    if D is None:
+        g_D = None
+    else:
+        g_D = g_D.astype(jnp.asarray(D).dtype).reshape(jnp.shape(D))
+    if dt_bias is None:
+        g_bias = None
+    else:
+        g_bias = g_bias.astype(jnp.asarray(dt_bias).dtype).reshape(
+            jnp.shape(dt_bias))
+    return (g_x.astype(x.dtype), g_dt.astype(dt.dtype), g_A,
+            g_B.astype(B_mat.dtype), g_C.astype(C.dtype), g_D, g_bias, g_h0)
+
+
+ssd_pallas_batched_chained.defvjp(_chained_fwd, _chained_bwd)
+
+
+def ssd_pallas_batched(
+    x, dt, A, B_mat, C,
+    D=None,
+    dt_bias=None,
+    dt_softplus: bool = False,
+    reverse: bool = False,
+    chunk_size: int = 128,
+    interpret: bool = False,
+    h_init=None,
+    return_final_state: bool = False,
+    seg_chunks: int = 8,
+):
+    """Drop-in for `ops/ssd_pallas.py ssd_pallas` (head-batched kernels)."""
+    if h_init is None:
+        G, _, H, Pd = x.shape
+        N = B_mat.shape[-1]
+        h_init = jnp.zeros((G, H, N, Pd), jnp.float32)
+    y, hN = ssd_pallas_batched_chained(
+        x, dt, A, B_mat, C, D, dt_bias, h_init,
+        dt_softplus, reverse, chunk_size, interpret, seg_chunks,
+    )
+    if return_final_state:
+        return y, hN
+    return y

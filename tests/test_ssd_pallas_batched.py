@@ -1,0 +1,192 @@
+"""Head-batched Pallas SSD kernels vs the XLA oracle — interpret mode on CPU.
+
+`ops/ssd_pallas_batched.py` restructures the SSD chunk algebra so the MXU
+sees full-width (T, H·P) matmuls with an (N, H·P) state layout instead of a
+per-head loop; the math is identical to `ops/ssd.py` (`ssd_ref` /
+`ssd_chunked`), so numerics must match exactly with fp32 carries and within
+the bf16 precision class with the default carries (same contract as
+tests/test_ssd_pallas.py for the base kernel).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from caduceus_tpu.ops.ssd import ssd_chunked, ssd_ref
+from caduceus_tpu.ops.ssd_pallas_batched import (
+    ssd_pallas_batched,
+    ssd_pallas_batched_chained,
+)
+
+
+def make_inputs(G=2, L=100, H=4, P=8, NG=2, N=16, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda s, sc=1.0: jnp.asarray(rng.standard_normal(s) * sc, jnp.float32)
+    x = mk((G, L, H, P))
+    dt = mk((G, L, H), 0.5)
+    A = -jnp.exp(mk((H,), 0.5))
+    B = mk((G, L, NG, N))
+    C = mk((G, L, NG, N))
+    D = mk((H,))
+    bias = mk((H,), 0.1)
+    return x, dt, A, B, C, D, bias
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("chunk", [16, 100])  # 100: single padded chunk
+def test_fwd_matches_oracle(reverse, chunk):
+    x, dt, A, B, C, D, bias = make_inputs()
+    want, hN_want = ssd_ref(x, dt, A, B, C, D, bias, True, reverse,
+                            return_final_state=True)
+    got, hN = ssd_pallas_batched(
+        x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=True,
+        reverse=reverse, chunk_size=chunk, interpret=True,
+        return_final_state=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hN), np.asarray(hN_want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fwd_single_group():
+    # NG=1 (the mamba-ssm default): one B/C shared by every head — the
+    # layout the head-batching is designed for (one full-width matmul)
+    x, dt, A, B, C, D, bias = make_inputs(NG=1, N=8)
+    want = ssd_ref(x, dt, A, B, C, D, bias, True, False)
+    got = ssd_pallas_batched(
+        x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=True,
+        chunk_size=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_grads_match_oracle_fp32_carries(reverse):
+    x, dt, A, B, C, D, bias = make_inputs()
+    gy = jnp.asarray(
+        np.random.default_rng(7).standard_normal(x.shape), jnp.float32)
+
+    def f_ref(*args):
+        return jnp.sum(ssd_chunked(
+            *args[:5], D=args[5], dt_bias=args[6], dt_softplus=True,
+            reverse=reverse, chunk_size=16) * gy)
+
+    def f_pal(*args):
+        return jnp.sum(ssd_pallas_batched(
+            *args[:5], D=args[5], dt_bias=args[6], dt_softplus=True,
+            reverse=reverse, chunk_size=16, interpret=True) * gy)
+
+    args = (x, dt, A, B, C, D, bias)
+    g_ref = jax.grad(f_ref, argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(f_pal, argnums=tuple(range(7)))(*args)
+    for name, a, b in zip("x dt A B C D bias".split(), g_pal, g_ref):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s, atol=2e-5,
+            err_msg=f"grad mismatch: {name} (reverse={reverse})")
+
+
+def test_grads_single_group():
+    # NG=1: the production configuration's gradient path (group-batched
+    # gB/gC accumulate over every head in one matmul pair)
+    x, dt, A, B, C, D, bias = make_inputs(NG=1, N=8)
+    gy = jnp.asarray(
+        np.random.default_rng(3).standard_normal(x.shape), jnp.float32)
+
+    def f_ref(*args):
+        return jnp.sum(ssd_chunked(
+            *args[:5], D=args[5], dt_bias=args[6], dt_softplus=True,
+            chunk_size=16) * gy)
+
+    def f_pal(*args):
+        return jnp.sum(ssd_pallas_batched(
+            *args[:5], D=args[5], dt_bias=args[6], dt_softplus=True,
+            chunk_size=16, interpret=True) * gy)
+
+    args = (x, dt, A, B, C, D, bias)
+    g_ref = jax.grad(f_ref, argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(f_pal, argnums=tuple(range(7)))(*args)
+    for name, a, b in zip("x dt A B C D bias".split(), g_pal, g_ref):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s, atol=2e-5,
+            err_msg=f"grad mismatch: {name}")
+
+
+def test_grads_bf16_carries_within_class(monkeypatch):
+    monkeypatch.setenv("CADUCEUS_SSD_CARRY_DTYPE", "bfloat16")
+    x, dt, A, B, C, D, bias = make_inputs()
+
+    def f_ref(*args):
+        return jnp.sum(jnp.square(ssd_chunked(
+            *args[:5], D=args[5], dt_bias=args[6], dt_softplus=True,
+            chunk_size=16)))
+
+    def f_pal(*args):
+        return jnp.sum(jnp.square(ssd_pallas_batched(
+            *args[:5], D=args[5], dt_bias=args[6], dt_softplus=True,
+            chunk_size=16, interpret=True)))
+
+    args = (x, dt, A, B, C, D, bias)
+    g_ref = jax.grad(f_ref, argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(f_pal, argnums=tuple(range(7)))(*args)
+    for name, a, b in zip("x dt A B C D bias".split(), g_pal, g_ref):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s, atol=5e-3,
+            err_msg=f"grad mismatch: {name}")
+
+
+def test_chained_state_and_adjoint():
+    """Two chained segments == one full scan, for outputs AND gradients
+    (the g_hN → g_h0 boundary-adjoint contract used by CP/prefill)."""
+    x, dt, A, B, C, D, bias = make_inputs(L=64)
+    half = 32
+
+    def full(x, dt, B, C):
+        y, hN = ssd_pallas_batched_chained(
+            x, dt, A, B, C, D, bias,
+            jnp.zeros((x.shape[0], A.shape[0], B.shape[-1], x.shape[-1]),
+                      jnp.float32),
+            True, False, 16, True)
+        return jnp.sum(jnp.square(y)) + jnp.sum(hN)
+
+    def seg(x, dt, B, C):
+        h0 = jnp.zeros((x.shape[0], A.shape[0], B.shape[-1], x.shape[-1]),
+                       jnp.float32)
+        y1, h1 = ssd_pallas_batched_chained(
+            x[:, :half], dt[:, :half], A, B[:, :half], C[:, :half], D, bias,
+            h0, True, False, 16, True)
+        y2, h2 = ssd_pallas_batched_chained(
+            x[:, half:], dt[:, half:], A, B[:, half:], C[:, half:], D, bias,
+            h1, True, False, 16, True)
+        y = jnp.concatenate([y1, y2], axis=1)
+        return jnp.sum(jnp.square(y)) + jnp.sum(h2)
+
+    v_full, g_full = jax.value_and_grad(full, argnums=(0, 1, 2, 3))(x, dt, B, C)
+    v_seg, g_seg = jax.value_and_grad(seg, argnums=(0, 1, 2, 3))(x, dt, B, C)
+    np.testing.assert_allclose(float(v_seg), float(v_full), rtol=1e-5)
+    for name, a, b in zip("x dt B C".split(), g_seg, g_full):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s, atol=5e-3,
+            err_msg=f"chained grad mismatch: {name}")
+
+
+def test_h_init_threading():
+    """Nonzero h_init: batched == base-oracle with the same initial state."""
+    x, dt, A, B, C, D, bias = make_inputs(L=48)
+    G, _, H, P = x.shape
+    N = B.shape[-1]
+    h0 = jnp.asarray(
+        np.random.default_rng(11).standard_normal((G, H, N, P)), jnp.float32)
+    want, hN_want = ssd_ref(x, dt, A, B, C, D, bias, True, False,
+                            h_init=h0, return_final_state=True)
+    got, hN = ssd_pallas_batched(
+        x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=True,
+        chunk_size=16, interpret=True, h_init=h0, return_final_state=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hN), np.asarray(hN_want),
+                               rtol=1e-4, atol=1e-4)
