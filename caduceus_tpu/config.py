@@ -36,7 +36,9 @@ class SSMConfig:
     bias: bool = False
     # The reference's `use_fast_path` selects the fused CUDA kernel; here the
     # equivalent switch selects the Pallas kernel vs the XLA chunked scan.
-    use_kernel: str = "auto"  # "auto" | "pallas" | "xla"
+    # "auto" | "pallas" | "xla"; version=2 also takes "pallas_batched"
+    # (head-batched SSD kernels, `ops/ssd_pallas_batched.py`)
+    use_kernel: str = "auto"
 
     # --- Mamba-2 (SSD) — beyond the reference (it pins mamba-ssm 1.2.0,
     # which predates Mamba-2). version=2 swaps the mixer for the MXU-chunked
@@ -141,6 +143,12 @@ class CaduceusConfig:
         s = self.ssm_cfg
         if s.version not in (1, 2):
             raise NotImplementedError(f"ssm_cfg.version={s.version!r}")
+        if s.use_kernel.startswith("pallas_batched") and s.version != 2:
+            raise ValueError(
+                "use_kernel='pallas_batched' selects the head-batched SSD "
+                "kernels (ops/ssd_pallas_batched.py), which exist only for "
+                "ssm_cfg.version=2"
+            )
         if (s.version == 1 and self.tensor_parallel_axis
                 and self.context_parallel_axis):
             raise NotImplementedError(

@@ -371,12 +371,13 @@ def mamba2_direction_prefill(
     h0 = cache["ssm"]  # (B, H, N, P) fp32
 
     if use_kernel.startswith("pallas"):
-        from caduceus_tpu.ops.ssd_pallas import ssd_pallas_chained
+        from caduceus_tpu.ops.ssd_pallas import resolve_ssd_kernel
 
-        y, hN = ssd_pallas_chained(
+        _, chained_fn, interp = resolve_ssd_kernel(use_kernel)
+        y, hN = chained_fn(
             x4, dt, A, B4, C4, dparams["D"], dparams["dt_bias"], h0,
             dt_softplus=True, chunk_size=s.ssd_chunk_size,
-            interpret=use_kernel == "pallas_interpret",
+            interpret=interp,
             seg_chunks=s.ssd_seg_chunks,
         )
     else:

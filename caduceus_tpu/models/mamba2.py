@@ -141,14 +141,15 @@ class _DirectionParamsV2(nn.Module):
             # (`ops/ssd_pallas.py`); the conv runs as a global XLA op
             # (transient under remat spans)
             from caduceus_tpu.ops.conv import causal_conv1d
-            from caduceus_tpu.ops.ssd_pallas import ssd_pallas
+            from caduceus_tpu.ops.ssd_pallas import resolve_ssd_kernel
 
+            ssd_fn, _, interp = resolve_ssd_kernel(kernel)
             xc = causal_conv1d(
                 x3, self.conv_w.astype(x3.dtype),
                 None if self.conv_b is None else self.conv_b.astype(x3.dtype),
                 activation="silu", reverse=reverse,
             )
-            y = ssd_pallas(
+            y = ssd_fn(
                 xc[..., : H * P].reshape(G, L, H, P),
                 dt_raw.reshape(G, L, H),
                 -jnp.exp(self.A_log),
@@ -159,7 +160,7 @@ class _DirectionParamsV2(nn.Module):
                 dt_softplus=True,
                 reverse=reverse,
                 chunk_size=s.ssd_chunk_size,
-                interpret=kernel == "pallas_interpret",
+                interpret=interp,
                 seg_chunks=s.ssd_seg_chunks,
             )
             return y.reshape(*lead, L, c.d_inner)
@@ -259,11 +260,11 @@ class _DirectionParamsV2(nn.Module):
                 bc_spec, slice_group = Pt(None, None, None, None), True
 
             if kernel.startswith("pallas"):
-                from caduceus_tpu.ops.ssd_pallas import ssd_pallas as _ssd
+                from caduceus_tpu.ops.ssd_pallas import resolve_ssd_kernel
                 import functools as _ft
 
-                _ssd = _ft.partial(
-                    _ssd, interpret=kernel == "pallas_interpret")
+                _fn, _, _interp = resolve_ssd_kernel(kernel)
+                _ssd = _ft.partial(_fn, interpret=_interp)
             else:
                 _ssd = ssd_chunked
 

@@ -607,6 +607,24 @@ def _chained_bwd(dt_softplus, reverse, chunk_size, interpret, seg_chunks,
 ssd_pallas_chained.defvjp(_chained_fwd, _chained_bwd)
 
 
+def resolve_ssd_kernel(kernel: str):
+    """Map a ``use_kernel`` string to ``(ssd_fn, chained_fn, interpret)``.
+
+    ``"pallas"`` / ``"pallas_interpret"`` select the per-head kernels in
+    this module; ``"pallas_batched"`` / ``"pallas_batched_interpret"``
+    select the head-batched variants (`ops/ssd_pallas_batched.py` — same
+    interface, (N, H·P) state layout). Central dispatch point for every
+    SSD call site (models/mamba2.py, parallel/seq_scan.py, inference.py).
+    """
+    interpret = kernel.endswith("_interpret")
+    if kernel.startswith("pallas_batched"):
+        from caduceus_tpu.ops.ssd_pallas_batched import (
+            ssd_pallas_batched, ssd_pallas_batched_chained)
+
+        return ssd_pallas_batched, ssd_pallas_batched_chained, interpret
+    return ssd_pallas, ssd_pallas_chained, interpret
+
+
 def ssd_pallas(
     x, dt, A, B_mat, C,
     D=None,

@@ -240,10 +240,10 @@ def sequence_parallel_ssd(
         return t
 
     if local_impl.startswith("pallas"):
-        from caduceus_tpu.ops.ssd_pallas import ssd_pallas
+        from caduceus_tpu.ops.ssd_pallas import resolve_ssd_kernel
 
-        local_scan = partial(ssd_pallas,
-                             interpret=local_impl == "pallas_interpret")
+        _fn, _, _interp = resolve_ssd_kernel(local_impl)
+        local_scan = partial(_fn, interpret=_interp)
     else:
         local_scan = ssd_chunked
 

@@ -19,6 +19,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from caduceus_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,14 +41,20 @@ def timeit(fn, *args, iters=5, warmup=2):
 
 def chain(kernel_on_u, K):
     """Repeat `u -> kernel(u)` K times inside one jit so per-dispatch tunnel
-    overhead (seconds through axon) amortizes away; returns jitted fn."""
+    overhead (seconds through axon) amortizes away; returns jitted fn.
+
+    Returns only a tiny slice-sum: device_get of the full (G, L, d) output
+    would drag ~0.5 GB through the tunnel per timing (seconds of pure
+    transfer); the final pallas_call is opaque to XLA so the slice cannot
+    dead-code the compute."""
 
     @jax.jit
     def run(u, *rest):
         def body(_, u):
             return kernel_on_u(u, *rest)
 
-        return jax.lax.fori_loop(0, K, body, u)
+        uf = jax.lax.fori_loop(0, K, body, u)
+        return jnp.sum(uf[..., :1, :1].astype(jnp.float32))
 
     return run
 

@@ -19,6 +19,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from caduceus_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,14 +41,19 @@ def timeit(fn, *args, iters=5, warmup=2):
 
 def chain(kernel_on_x, K):
     """Repeat `x -> kernel(x, ...)` K times inside one jit so per-dispatch
-    tunnel overhead (seconds through axon) amortizes away."""
+    tunnel overhead (seconds through axon) amortizes away. Returns only a
+    tiny slice-sum: device_get of the full (G, L, H·P) output would drag
+    ~0.5 GB through the tunnel per timing (~2 s/call of pure transfer at
+    microbench iteration counts); the final pallas_call is opaque to XLA so
+    the slice cannot dead-code the compute."""
 
     @jax.jit
     def run(x, *rest):
         def body(_, x):
             return kernel_on_x(x, *rest)
 
-        return jax.lax.fori_loop(0, K, body, x)
+        xf = jax.lax.fori_loop(0, K, body, x)
+        return jnp.sum(xf[..., :1, :1].astype(jnp.float32))
 
     return run
 

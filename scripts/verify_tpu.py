@@ -218,6 +218,55 @@ def main():
     for n, a, b in zip(["x", "dt", "B", "C"], gs_, gf):
         _check(f"ssd chained grad {n}", a, b, 5e-3, failures)
 
+    # ---- head-batched SSD kernels (ops/ssd_pallas_batched.py) ----
+    # same production geometry + contracts as the base SSD rows; Mosaic
+    # compilation of the (N, H·P)-layout kernels is what this verifies
+    # (interpret mode cannot see TPU lowering bugs).
+    from caduceus_tpu.ops.ssd_pallas_batched import (
+        ssd_pallas_batched, ssd_pallas_batched_chained)
+
+    for reverse in (False, True):
+        y_k = jax.jit(
+            lambda *a, r=reverse: ssd_pallas_batched(
+                *a[:5], D=a[5], dt_bias=a[6], dt_softplus=True, reverse=r,
+                chunk_size=128, seg_chunks=8)
+        )(xs, dts, As, Bs, Cs, Ds, bs)
+        y_o = jax.jit(
+            lambda *a, r=reverse: ssd_chunked(
+                *a[:5], D=a[5], dt_bias=a[6], dt_softplus=True, reverse=r,
+                chunk_size=128, seg_chunks=8)
+        )(xs, dts, As, Bs, Cs, Ds, bs)
+        _check(f"ssd-batched fwd kernel reverse={reverse}", y_k, y_o, 2e-3,
+               failures)
+
+    def ssd_b_loss(fn):
+        def loss(args):
+            y = fn(*args[:5], D=args[5], dt_bias=args[6], dt_softplus=True,
+                   chunk_size=128, seg_chunks=8)
+            return jnp.sum(jnp.square(y.astype(jnp.float32))) / y.size
+        return loss
+
+    g_sk = jax.jit(jax.grad(ssd_b_loss(ssd_pallas_batched)))(ssd_args)
+    g_so = jax.jit(jax.grad(ssd_b_loss(ssd_chunked)))(ssd_args)
+    for n, a, b in zip(ssd_names, g_sk, g_so):
+        _check(f"ssd-batched bwd grad {n}", a, b, 5e-3, failures)
+
+    def chain_b_seg(x, dt, B, C):
+        y1, h1 = ssd_pallas_batched_chained(
+            x[:, :half], dt[:, :half], As, B[:, :half], C[:, :half],
+            Ds, bs, zero_h, True, False, 128, False, 8)
+        y2, h2 = ssd_pallas_batched_chained(
+            x[:, half:], dt[:, half:], As, B[:, half:], C[:, half:],
+            Ds, bs, h1, True, False, 128, False, 8)
+        y = jnp.concatenate([y1, y2], axis=1)
+        return jnp.sum(jnp.square(y)) / y.size + jnp.sum(h2)
+
+    vsb, gsb = jax.jit(jax.value_and_grad(chain_b_seg, argnums=(0, 1, 2, 3)))(
+        xs, dts, Bs, Cs)
+    _check("ssd-batched chained value", vsb, vf, 1e-4, failures)
+    for n, a, b in zip(["x", "dt", "B", "C"], gsb, gf):
+        _check(f"ssd-batched chained grad {n}", a, b, 5e-3, failures)
+
     # ---- flash attention (hybrid-MHA layers) vs the XLA oracle ----
     # bf16-class MXU rounding inside the kernel → looser tolerance.
     from caduceus_tpu.ops.attention import mha_attention

@@ -174,6 +174,60 @@ def test_chained_state_and_adjoint():
             err_msg=f"chained grad mismatch: {name}")
 
 
+def test_model_batched_matches_xla():
+    """BiMamba2 end-to-end: use_kernel=pallas_batched_interpret ==
+    use_kernel=xla (forward and parameter gradients) — pins the
+    resolve_ssd_kernel dispatch through models/mamba2.py."""
+    from caduceus_tpu.config import CaduceusConfig, SSMConfig
+    from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
+    from caduceus_tpu.tokenization import CaduceusTokenizer
+
+    tok = CaduceusTokenizer()
+
+    def build(kernel):
+        cfg = CaduceusConfig(
+            d_model=32, n_layer=2, vocab_size=tok.vocab_size,
+            ssm_cfg=SSMConfig(version=2, d_state=16, headdim=8,
+                              ssd_chunk_size=16, use_kernel=kernel),
+            rcps=True, complement_map=tok.complement_map,
+            dtype="float32", param_dtype="float32",
+        )
+        return CaduceusForMaskedLM(cfg)
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 48), 7, 11)
+    m_xla = build("xla")
+    m_bat = build("pallas_batched_interpret")
+    params = m_xla.init(jax.random.PRNGKey(0), ids)
+
+    want = m_xla.apply(params, ids)
+    got = m_bat.apply(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-4)
+
+    def loss(model):
+        def f(p):
+            return jnp.mean(jnp.square(model.apply(p, ids)))
+        return f
+
+    g_xla = jax.grad(loss(m_xla))(params)
+    g_bat = jax.grad(loss(m_bat))(params)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_bat),
+            jax.tree_util.tree_leaves_with_path(g_xla)):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s, atol=5e-3,
+            err_msg=f"model grad mismatch at {jax.tree_util.keystr(ka)}")
+
+
+def test_batched_rejected_for_v1():
+    from caduceus_tpu.config import CaduceusConfig, SSMConfig
+
+    with pytest.raises(ValueError, match="pallas_batched"):
+        CaduceusConfig(ssm_cfg=SSMConfig(version=1,
+                                         use_kernel="pallas_batched"))
+
+
 def test_h_init_threading():
     """Nonzero h_init: batched == base-oracle with the same initial state."""
     x, dt, A, B, C, D, bias = make_inputs(L=48)
