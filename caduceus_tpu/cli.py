@@ -464,6 +464,32 @@ def cmd_generate(argv):
     }))
 
 
+def cmd_serve(argv):
+    """Batch inference HTTP server over a trained run dir (`serve.py`):
+    length-bucketed jit caching + micro-batched device dispatch for
+    /embed, /logits, /generate."""
+    p = argparse.ArgumentParser(prog="serve")
+    p.add_argument("--run-dir", required=True,
+                   help="run dir with model_config.json + checkpoint")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-length", type=int, default=131072)
+    p.add_argument("--min-bucket", type=int, default=128)
+    args = p.parse_args(argv)
+
+    from caduceus_tpu.serve import InferenceServer, InferenceService
+
+    svc = InferenceService.from_run_dir(
+        args.run_dir, max_batch=args.max_batch, max_length=args.max_length,
+        min_bucket=args.min_bucket)
+    server = InferenceServer(svc, args.host, args.port)
+    print(json.dumps({"serving": f"http://{args.host}:{server.port}",
+                      "endpoints": ["/embed", "/logits", "/generate",
+                                    "/healthz"]}), flush=True)
+    server.serve_forever()
+
+
 def _maybe_init_distributed():
     """Multi-host init (replaces SLURM srun/torchrun process launch,
     SURVEY.md §2.5): enable with CADUCEUS_MULTIHOST=1; coordinator/process
@@ -483,6 +509,7 @@ def main(argv=None):
         "vep": cmd_vep,
         "eval": cmd_eval,
         "generate": cmd_generate,
+        "serve": cmd_serve,
     }
     if not argv or argv[0] not in cmds:
         print(f"usage: python -m caduceus_tpu.cli {{{','.join(cmds)}}} ...")
