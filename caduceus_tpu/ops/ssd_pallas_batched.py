@@ -56,7 +56,18 @@ from caduceus_tpu.ops.ssd_pallas import (
     _CONTRACT_1,
 )
 
-_HI = jax.lax.Precision.HIGHEST
+# The selector/mask matmuls need the fp32 VALUE operand to survive the
+# MXU (the 0/1 operand is exact in any precision). bf16x3
+# (Precision.HIGH) would be exact at half HIGHEST's passes, but Mosaic
+# only lowers DEFAULT and HIGHEST dots — measured: HIGH raises
+# "Unsupported dot precision" at lowering. DEFAULT truncates the values
+# to bf16 (the exact failure the base kernel's cumsum note documents).
+# So: HIGHEST, with CADUCEUS_SSD_SEL_PRECISION=default as an A/B knob.
+import os as _os
+
+_HI = (jax.lax.Precision.DEFAULT
+       if _os.environ.get("CADUCEUS_SSD_SEL_PRECISION") == "default"
+       else jax.lax.Precision.HIGHEST)
 
 
 def _sel(H: int, P: int):
@@ -113,10 +124,16 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32, precision=_HI,
         )                                                 # (T, H) inclusive
         total = jnp.sum(a, axis=0, keepdims=True)         # (1, H)
-        ecum_x = _hi_mm(jnp.exp(cum), SEL)                # (T, H·P)
-        w_x = _hi_mm(jnp.exp(total - cum), SEL)
-        e_end_x = _hi_mm(jnp.exp(total), SEL)             # (1, H·P)
-        dt_x = _hi_mm(dt, SEL)
+        # one stacked selector expansion instead of four (3T+1 rows)
+        vals_x = _hi_mm(
+            jnp.concatenate(
+                [jnp.exp(cum), jnp.exp(total - cum), jnp.exp(total), dt],
+                axis=0),
+            SEL)                                          # (3T+1, H·P)
+        ecum_x = vals_x[:T]
+        w_x = vals_x[T:2 * T]
+        e_end_x = vals_x[2 * T:2 * T + 1]
+        dt_x = vals_x[2 * T + 1:]
         cum_rows = jnp.transpose(cum)                     # (H, T)
 
         xf = x_ref[0, o:o + T, :].astype(jnp.float32)     # (T, H·P)
@@ -289,10 +306,13 @@ def _bwd_kernel(
         total = jnp.sum(a, axis=0, keepdims=True)
         ecum = jnp.exp(cum)
         w = jnp.exp(total - cum)
-        ecum_x = _hi_mm(ecum, SEL)
-        w_x = _hi_mm(w, SEL)
-        e_end_x = _hi_mm(jnp.exp(total), SEL)
-        dt_x = _hi_mm(dt, SEL)
+        # one stacked selector expansion instead of four (3T+1 rows)
+        vals_x = _hi_mm(
+            jnp.concatenate([ecum, w, jnp.exp(total), dt], axis=0), SEL)
+        ecum_x = vals_x[:T]
+        w_x = vals_x[T:2 * T]
+        e_end_x = vals_x[2 * T:2 * T + 1]
+        dt_x = vals_x[2 * T + 1:]
         cum_rows = jnp.transpose(cum)
 
         xf = x_ref[0, o:o + T, :].astype(jnp.float32)     # (T, H·P)
@@ -362,8 +382,16 @@ def _bwd_kernel(
         Blam_full = jnp.concatenate(Blam_cols, axis=1)    # (T, H·P)
         Ch_full = jnp.concatenate(Ch_cols, axis=1)
         g_dx = jnp.concatenate(gdx_cols, axis=1) + w_x * Blam_full
-        q = ecum * _hi_mm(gy * Ch_full, SELT)             # (T, H)
-        uterm = w * _hi_mm(dx * Blam_full, SELT)
+        # one stacked per-head reduction instead of four (3T+1 rows):
+        # rows [0,T) -> q, [T,2T) -> uterm, [2T,3T) -> Σ_p xf·g_dx,
+        # row 3T -> Σ_{t,p} gy·xf (the g_D accumulator term)
+        red = _hi_mm(
+            jnp.concatenate(
+                [gy * Ch_full, dx * Blam_full, xf * g_dx,
+                 jnp.sum(gy * xf, axis=0, keepdims=True)], axis=0),
+            SELT)                                         # (3T+1, H)
+        q = ecum * red[:T]
+        uterm = w * red[T:2 * T]
         rowcol = jnp.concatenate(rowcol_cols, axis=1)     # (T, H)
         g_cum = rowcol + q - uterm + onehot * gend_all
 
@@ -371,7 +399,7 @@ def _bwd_kernel(
             McumT, g_cum, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_HI,
         )
-        g_dt = A_row * g_a + _hi_mm(xf * g_dx, SELT)
+        g_dt = A_row * g_a + red[2 * T:3 * T]
         if dt_softplus:
             g_dt = g_dt * (1.0 - jnp.exp(-dt))
         gdt_ref[0, o:o + T] = g_dt.astype(gdt_ref.dtype)
@@ -381,8 +409,7 @@ def _bwd_kernel(
 
         acc_s[0:1] = acc_s[0:1] + jnp.sum(dt * g_a, axis=0, keepdims=True)
         acc_s[1:2] = acc_s[1:2] + jnp.sum(g_dt, axis=0, keepdims=True)
-        acc_s[2:3] = acc_s[2:3] + _hi_mm(
-            jnp.sum(gy * xf, axis=0, keepdims=True), SELT)
+        acc_s[2:3] = acc_s[2:3] + red[3 * T:]
 
     gh0_ref[0] = lam_s[...]
     gA_ref[...] = acc_s[0:1]
