@@ -476,6 +476,9 @@ def cmd_serve(argv):
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-length", type=int, default=131072)
     p.add_argument("--min-bucket", type=int, default=128)
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile every bucket's programs before "
+                        "accepting traffic (no live request pays a compile)")
     args = p.parse_args(argv)
 
     from caduceus_tpu.serve import InferenceServer, InferenceService
@@ -483,6 +486,9 @@ def cmd_serve(argv):
     svc = InferenceService.from_run_dir(
         args.run_dir, max_batch=args.max_batch, max_length=args.max_length,
         min_bucket=args.min_bucket)
+    if args.warmup:
+        n = svc.warmup()
+        print(json.dumps({"warmed_programs": n}), flush=True)
     server = InferenceServer(svc, args.host, args.port)
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "endpoints": ["/embed", "/logits", "/generate",

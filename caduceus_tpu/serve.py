@@ -141,6 +141,25 @@ class InferenceService:
                                    else self._logits_fn())
             return self._fns[kind]
 
+    def warmup(self, buckets=None, batch_sizes=(1,)) -> int:
+        """Pre-compile the (endpoint, bucket, batch) programs so no live
+        request pays a TPU compile. Default: every power-of-two bucket in
+        [min_bucket, max_length]. Returns the number of programs built."""
+        if buckets is None:
+            buckets, b = [], self.min_bucket
+            while b <= self.max_length:
+                buckets.append(b)
+                b *= 2
+        n = 0
+        for bucket in buckets:
+            for bs in batch_sizes:
+                ids = np.full((bs, bucket), self.tok.pad_token_id, np.int32)
+                mask = np.ones((bs, bucket), bool)
+                self._get_fn("embed")(self.params, ids, mask)
+                self._get_fn("logits")(self.params, ids)
+                n += 2
+        return n
+
     # --- request execution (worker thread) ---
 
     def _run_batch(self, kind: str, batch: List[_Request]):

@@ -142,6 +142,13 @@ def test_one_request_many_sequences_single_dispatch(rcps_server):
     assert svc.n_dispatches - before == 1
 
 
+def test_warmup_precompiles_buckets(rcps_server):
+    server, _, _ = rcps_server
+    svc = server.service
+    n = svc.warmup(buckets=[16, 32])
+    assert n == 4  # embed+logits per bucket
+
+
 def test_errors_are_json(rcps_server):
     server, _, _ = rcps_server
     with pytest.raises(urllib.error.HTTPError) as e:
