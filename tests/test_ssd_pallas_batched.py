@@ -228,6 +228,42 @@ def test_batched_rejected_for_v1():
                                          use_kernel="pallas_batched"))
 
 
+def test_sequence_parallel_batched_local_impl():
+    """CP with the batched chained kernel as the local scan: forward and
+    gradients match the single-device XLA form (pins the
+    local_impl='pallas_batched*' dispatch in parallel/seq_scan.py)."""
+    from caduceus_tpu.ops.ssd import ssd_chunked
+    from caduceus_tpu.parallel.mesh import make_mesh
+    from caduceus_tpu.parallel.seq_scan import sequence_parallel_ssd
+
+    assert jax.device_count() >= 8
+    mesh8 = make_mesh(jax.devices()[:8])
+    x, dt, A, B, C, D, bias = make_inputs(L=128, NG=1, N=16)
+
+    def loss_cp(args):
+        x, dt, A, B, C, D, bias = args
+        y = sequence_parallel_ssd(
+            x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=True,
+            mesh=mesh8, axis="data", chunk_size=8,
+            local_impl="pallas_batched_interpret")
+        return jnp.sum(jnp.square(y))
+
+    def loss_ref(args):
+        x, dt, A, B, C, D, bias = args
+        y = ssd_chunked(x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=True,
+                        chunk_size=8)
+        return jnp.sum(jnp.square(y))
+
+    args = (x, dt, A, B, C, D, bias)
+    v_cp, g_cp = jax.value_and_grad(loss_cp)(args)
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(args)
+    np.testing.assert_allclose(float(v_cp), float(v_ref), rtol=1e-4)
+    for n, a, b in zip("x dt A B C D bias".split(), g_cp, g_ref):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=5e-4, err_msg=n)
+
+
 def test_h_init_threading():
     """Nonzero h_init: batched == base-oracle with the same initial state."""
     x, dt, A, B, C, D, bias = make_inputs(L=48)
