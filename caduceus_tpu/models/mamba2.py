@@ -136,6 +136,30 @@ class _DirectionParamsV2(nn.Module):
             return self._sharded_ssd(x3, dt_raw.reshape(G, L, H), reverse,
                                      lead)
         kernel = self._resolved_kernel()
+        if kernel.startswith("pallas_batched"):
+            # fused-conv head-batched path: the depthwise conv + SiLU +
+            # x/B/C split run INSIDE the kernels, so the post-conv
+            # (L, d_inner + 2·NG·N) tensor never exists in HBM — same
+            # memory strategy as the XLA fused mode below, now on Pallas
+            from caduceus_tpu.ops.ssd_pallas_batched import (
+                ssd_pallas_batched_fused)
+
+            y = ssd_pallas_batched_fused(
+                x3,
+                dt_raw.reshape(G, L, H),
+                -jnp.exp(self.A_log),
+                self.conv_w,
+                conv_b=self.conv_b,
+                D=self.D,
+                dt_bias=self.dt_bias,
+                dims=(H, P, NG, N),
+                dt_softplus=True,
+                reverse=reverse,
+                chunk_size=s.ssd_chunk_size,
+                interpret=kernel.endswith("_interpret"),
+                seg_chunks=s.ssd_seg_chunks,
+            )
+            return y.reshape(*lead, L, c.d_inner)
         if kernel.startswith("pallas"):
             # Pallas path: the (T, T) chunk tiles live in VMEM
             # (`ops/ssd_pallas.py`); the conv runs as a global XLA op

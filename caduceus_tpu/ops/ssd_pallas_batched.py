@@ -91,12 +91,65 @@ def _hi_mm(a, b):
     )
 
 
+def _conv_ext(blk, hist, o, T, K, nci_edge: bool, reverse: bool):
+    """(T+K-1, Wc) raw rows for one chunk's depthwise conv.
+
+    Forward conv reads K-1 rows BEFORE the chunk (from the block when the
+    chunk has an in-block predecessor, else the precomputed segment-boundary
+    ``hist``); the reverse/anti-causal direction reads K-1 rows AFTER."""
+    if reverse:
+        after = hist if nci_edge else blk[o + T:o + T + K - 1]
+        return jnp.concatenate([blk[o:o + T], after], axis=0)
+    before = hist if nci_edge else blk[o - (K - 1):o]
+    return jnp.concatenate([before, blk[o:o + T]], axis=0)
+
+
+def _conv_pre(ext, cw, cb, T, reverse: bool):
+    """fp32 pre-activation depthwise conv over ``ext`` (T+K-1, Wc).
+
+    Matches `ops/conv.py causal_conv1d`: forward y[i] = Σ_k w[k]·ext[i+k]
+    (tap K-1 = current row); reverse y[i] = Σ_k w[k]·ext[i+K-1-k]."""
+    K = cw.shape[0]
+    acc = None
+    for k in range(K):
+        idx = (K - 1 - k) if reverse else k
+        term = ext[idx:idx + T].astype(jnp.float32) * cw[k:k + 1]
+        acc = term if acc is None else acc + term
+    if cb is not None:
+        acc = acc + cb
+    return acc
+
+
+def _silu(p):
+    return p * jax.nn.sigmoid(p)
+
+
+def _seg_hists(xp, Ts, K, reverse: bool):
+    """(G, nseg, K-1, Wc) segment-boundary conv history rows, gathered by
+    XLA as strided slices (no sequential dependency): forward = the K-1
+    rows before each segment (zeros for the first), reverse = the K-1 rows
+    after (zeros for the last)."""
+    G, Lp, Wc = xp.shape
+    nseg = Lp // Ts
+    if reverse:
+        arr = jnp.pad(xp, ((0, 0), (0, Ts), (0, 0)))[:, Ts:Ts + Lp]
+    else:
+        arr = jnp.pad(xp, ((0, 0), (K - 1, 0), (0, 0)))[:, :Lp]
+    return arr.reshape(G, nseg, Ts, Wc)[:, :, :K - 1]
+
+
 def _fwd_kernel(
-    x_ref, dt_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, h0_ref,
-    *rest,
+    *refs,
     T: int, nci: int, H: int, Pd: int, NG: int, N: int,
     reverse: bool, dt_softplus: bool, save_carries: bool, mm_dtype,
+    fused: bool = False, K: int = 0,
 ):
+    if fused:
+        (xBC_ref, dt_ref, cw_ref, cb_ref, hist_ref,
+         A_ref, D_ref, bias_ref, h0_ref, *rest) = refs
+    else:
+        x_ref, dt_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, h0_ref, *rest \
+            = refs
     if save_carries:
         y_ref, hN_ref, car_ref, h_s = rest
     else:
@@ -136,11 +189,24 @@ def _fwd_kernel(
         dt_x = vals_x[2 * T + 1:]
         cum_rows = jnp.transpose(cum)                     # (H, T)
 
-        xf = x_ref[0, o:o + T, :].astype(jnp.float32)     # (T, H·P)
+        if fused:
+            # in-kernel conv+SiLU+split: the post-conv (L, H·P+2·NG·N)
+            # tensor never exists in HBM (the `ops/ssd.py` fused-conv
+            # memory strategy, now on the Pallas path)
+            edge = (c == nci - 1) if reverse else (c == 0)
+            ext = _conv_ext(xBC_ref[0], hist_ref[0, 0], o, T, K, edge,
+                            reverse)
+            pre = _conv_pre(ext, cw_ref[...], cb_ref[...], T, reverse)
+            xc = _silu(pre)                               # (T, Wc) fp32
+            xf = xc[:, :H * Pd]
+            Bm = xc[:, H * Pd:H * Pd + NG * N]
+            Cm = xc[:, H * Pd + NG * N:]
+        else:
+            xf = x_ref[0, o:o + T, :].astype(jnp.float32)  # (T, H·P)
+            Bm = B_ref[0, o:o + T, :]
+            Cm = C_ref[0, o:o + T, :]
         dx = dt_x * xf
         wdx = w_x * dx
-        Bm = B_ref[0, o:o + T, :]
-        Cm = C_ref[0, o:o + T, :]
 
         y_cross_cols = []
         y_diag_cols = []
@@ -259,19 +325,133 @@ def ssd_pallas_batched_fwd_impl(
     return y[:, :L].reshape(G, L, H, Pd), st_out(hN)
 
 
+def ssd_pallas_batched_fused_fwd_impl(
+    xBC, dt, A, conv_w, conv_b, D, dt_bias,
+    dims,                 # (H, P, NG, N)
+    dt_softplus: bool,
+    reverse: bool,
+    chunk_size: int = 128,
+    interpret: bool = False,
+    save_carries: bool = False,
+    h_init=None,
+    seg_chunks: int = 8,
+):
+    """Fused-conv forward: ``xBC`` is the PRE-conv (G, L, H·P + 2·NG·N)
+    tensor; the depthwise conv + SiLU + x/B/C split run inside the kernel
+    so the post-conv tensor never materializes in HBM (the `ops/ssd.py`
+    fused-conv memory strategy on the Pallas path). Conv semantics =
+    `ops/conv.py causal_conv1d` (reverse = anti-causal)."""
+    H, Pd, NG, N = dims
+    G, L, Wc = xBC.shape
+    assert Wc == H * Pd + 2 * NG * N, (xBC.shape, dims)
+    K = conv_w.shape[0]
+    T = min(chunk_size, L)
+    nci = max(1, min(seg_chunks, -(-L // T)))
+    Ts = T * nci
+
+    tensors = [xBC, dt]
+    if L % Ts != 0:
+        tensors = _pad_ssd(tensors, Ts - L % Ts, dt_softplus, dt_bias, H)
+    xp, dt_p = tensors
+    Lp = xp.shape[1]
+    nseg = Lp // Ts
+    hists = _seg_hists(xp, Ts, K, reverse)        # (G, nseg, K-1, Wc)
+
+    cw_in = jnp.asarray(conv_w, jnp.float32)
+    cb_in = (jnp.zeros((1, Wc), jnp.float32) if conv_b is None
+             else jnp.asarray(conv_b, jnp.float32).reshape(1, Wc))
+    A_in = jnp.asarray(A, jnp.float32).reshape(1, H)
+    D_in = (jnp.zeros((1, H), jnp.float32) if D is None
+            else jnp.asarray(D, jnp.float32).reshape(1, H))
+    bias_in = (jnp.zeros((1, H), jnp.float32) if dt_bias is None
+               else jnp.asarray(dt_bias, jnp.float32).reshape(1, H))
+    h0_in = (jnp.zeros((G, N, H * Pd), jnp.float32) if h_init is None
+             else jnp.asarray(h_init, jnp.float32).transpose(0, 2, 1, 3)
+             .reshape(G, N, H * Pd))
+
+    cmap = ((lambda g, i: (g, nseg - 1 - i, 0)) if reverse
+            else (lambda g, i: (g, i, 0)))
+    hist_map = ((lambda g, i: (g, nseg - 1 - i, 0, 0)) if reverse
+                else (lambda g, i: (g, i, 0, 0)))
+    full2 = lambda g, i: (0, 0)
+    smap = lambda g, i: (g, 0, 0)
+
+    xbc_spec = pl.BlockSpec((1, Ts, Wc), cmap, memory_space=pltpu.VMEM)
+    dt_spec = pl.BlockSpec((1, Ts, H), cmap, memory_space=pltpu.VMEM)
+    cw_spec = pl.BlockSpec((K, Wc), full2, memory_space=pltpu.VMEM)
+    cb_spec = pl.BlockSpec((1, Wc), full2, memory_space=pltpu.VMEM)
+    hist_spec = pl.BlockSpec((1, 1, K - 1, Wc), hist_map,
+                             memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, H), full2, memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((1, N, H * Pd), smap, memory_space=pltpu.VMEM)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((G, Lp, H * Pd), xBC.dtype),
+        jax.ShapeDtypeStruct((G, N, H * Pd), jnp.float32),
+    ]
+    y_spec = pl.BlockSpec((1, Ts, H * Pd), cmap, memory_space=pltpu.VMEM)
+    out_specs = [y_spec, st_spec]
+    if save_carries:
+        out_shape.append(
+            jax.ShapeDtypeStruct((G, nseg * nci, N, H * Pd),
+                                 _carry_dtype(xBC.dtype)))
+        out_specs.append(pl.BlockSpec(
+            (1, nci, N, H * Pd),
+            (lambda g, i: (g, nseg - 1 - i, 0, 0)) if reverse
+            else (lambda g, i: (g, i, 0, 0)),
+            memory_space=pltpu.VMEM,
+        ))
+
+    kernel = functools.partial(
+        _fwd_kernel, T=T, nci=nci, H=H, Pd=Pd, NG=NG, N=N, reverse=reverse,
+        dt_softplus=dt_softplus, save_carries=save_carries,
+        mm_dtype=xBC.dtype, fused=True, K=K,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, nseg),
+        in_specs=[xbc_spec, dt_spec, cw_spec, cb_spec, hist_spec,
+                  h_spec, h_spec, h_spec, st_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((N, H * Pd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, dt_p, cw_in, cb_in, hists, A_in, D_in, bias_in, h0_in)
+
+    def st_out(h):
+        return h.reshape(G, N, H, Pd).transpose(0, 2, 1, 3)
+
+    if save_carries:
+        y, hN, carries = out
+        return (y[:, :L].reshape(G, L, H, Pd), st_out(hN), carries, T, nci)
+    y, hN = out
+    return y[:, :L].reshape(G, L, H, Pd), st_out(hN)
+
+
 # ===========================================================================
 # Backward kernel
 # ===========================================================================
 
 def _bwd_kernel(
-    x_ref, dt_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, gy_ref, car_ref,
-    ghN_ref,
-    gx_ref, gdt_ref, gB_ref, gC_ref, gA_ref, gbias_ref, gD_ref, gh0_ref,
-    lam_s, acc_s,
-    *,
+    *refs,
     T: int, nci: int, H: int, Pd: int, NG: int, N: int,
     reverse: bool, dt_softplus: bool, mm_dtype,
+    fused: bool = False, K: int = 0,
 ):
+    if fused:
+        (xBC_ref, dt_ref, cw_ref, cb_ref, hist_ref, A_ref, D_ref, bias_ref,
+         gy_ref, car_ref, ghN_ref,
+         gx_ref, gdt_ref, gA_ref, gbias_ref, gD_ref, gcw_ref, gcb_ref,
+         gh0_ref, lam_s, acc_s, cacc_s, pend_s) = refs
+    else:
+        (x_ref, dt_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, gy_ref,
+         car_ref, ghN_ref,
+         gx_ref, gdt_ref, gB_ref, gC_ref, gA_ref, gbias_ref, gD_ref,
+         gh0_ref, lam_s, acc_s) = refs
     gi = pl.program_id(0)
     ci = pl.program_id(1)
     rep = H // NG
@@ -279,10 +459,16 @@ def _bwd_kernel(
     @pl.when(jnp.logical_and(gi == 0, ci == 0))
     def _():
         acc_s[...] = jnp.zeros_like(acc_s)  # rows: [g_A; g_bias; g_D]
+        if fused:
+            cacc_s[...] = jnp.zeros_like(cacc_s)  # rows: [g_w (K); g_b]
 
     @pl.when(ci == 0)
     def _():
         lam_s[...] = ghN_ref[0]
+        if fused:
+            # conv-adjoint spillover from the not-yet-seen neighbor chunk;
+            # zero at each row's walk start (pad-region g_pre is exactly 0)
+            pend_s[...] = jnp.zeros_like(pend_s)
 
     keep, Mcum, McumT = _cum_masks(T, reverse)
     SEL = _sel(H, Pd)
@@ -315,19 +501,34 @@ def _bwd_kernel(
         dt_x = vals_x[2 * T + 1:]
         cum_rows = jnp.transpose(cum)
 
-        xf = x_ref[0, o:o + T, :].astype(jnp.float32)     # (T, H·P)
+        if fused:
+            # recompute conv+SiLU from the streamed RAW xBC — replaces
+            # reading saved post-conv x/B/C (which no longer exist in HBM)
+            edge = (c == nci - 1) if reverse else (c == 0)
+            ext = _conv_ext(xBC_ref[0], hist_ref[0, 0], o, T, K, edge,
+                            reverse)
+            pre = _conv_pre(ext, cw_ref[...], cb_ref[...], T, reverse)
+            sig = jax.nn.sigmoid(pre)
+            xc = pre * sig
+            xf = xc[:, :H * Pd]
+            Bm = xc[:, H * Pd:H * Pd + NG * N]
+            Cm = xc[:, H * Pd + NG * N:]
+        else:
+            xf = x_ref[0, o:o + T, :].astype(jnp.float32)  # (T, H·P)
+            Bm = B_ref[0, o:o + T, :]
+            Cm = C_ref[0, o:o + T, :]
         gy = gy_ref[0, o:o + T, :].astype(jnp.float32)
         dx = dt_x * xf
         wdx = w_x * dx
         gy_e = ecum_x * gy
-        Bm = B_ref[0, o:o + T, :]
-        Cm = C_ref[0, o:o + T, :]
         h0 = car_ref[0, c].astype(jnp.float32)            # (N, H·P)
 
         gdx_cols = []
         rowcol_cols = []
         Ch_cols = []
         Blam_cols = []
+        gB_cols = []
+        gC_cols = []
         for g in range(NG):
             Bg = Bm[:, g * N:(g + 1) * N]
             Cg = Cm[:, g * N:(g + 1) * N]
@@ -363,8 +564,14 @@ def _bwd_kernel(
                     + _mm(gy_e[:, lo:hi], h_in, mm_dtype, _CONTRACT_1))
             gB_g = (_mm(LG_sum, Cg, mm_dtype, _CONTRACT_0)
                     + _mm(wdx[:, lo:hi], lam_g, mm_dtype, _CONTRACT_1))
-            gB_ref[0, o:o + T, g * N:(g + 1) * N] = gB_g.astype(gB_ref.dtype)
-            gC_ref[0, o:o + T, g * N:(g + 1) * N] = gC_g.astype(gC_ref.dtype)
+            if fused:
+                gB_cols.append(gB_g)
+                gC_cols.append(gC_g)
+            else:
+                gB_ref[0, o:o + T, g * N:(g + 1) * N] = gB_g.astype(
+                    gB_ref.dtype)
+                gC_ref[0, o:o + T, g * N:(g + 1) * N] = gC_g.astype(
+                    gC_ref.dtype)
 
             # gend (per head, scalar): Σ_{n,p} λ·h_out per head column-block
             gend_row = _hi_mm(
@@ -405,7 +612,35 @@ def _bwd_kernel(
         gdt_ref[0, o:o + T] = g_dt.astype(gdt_ref.dtype)
 
         g_x = dt_x * g_dx + D_x * gy
-        gx_ref[0, o:o + T, :] = g_x.astype(gx_ref.dtype)
+        if fused:
+            # silu + depthwise-conv adjoint. g_post -> g_pre via silu';
+            # the conv transpose spreads g_pre K-1 rows toward the
+            # neighbor chunk processed NEXT in this walk (pend_s carries
+            # the spillover across chunks AND segment grid steps).
+            g_post = jnp.concatenate(
+                [g_x, jnp.concatenate(gB_cols, axis=1),
+                 jnp.concatenate(gC_cols, axis=1)], axis=1)   # (T, Wc)
+            g_pre = g_post * sig * (1.0 + pre * (1.0 - sig))
+            if reverse:
+                gext = jnp.concatenate([pend_s[...], g_pre], axis=0)
+                pend_s[...] = g_pre[T - K + 1:]
+            else:
+                gext = jnp.concatenate([g_pre, pend_s[...]], axis=0)
+                pend_s[...] = g_pre[:K - 1]
+            g_raw = _conv_pre(gext, cw_ref[...], None, T,
+                              reverse=not reverse)
+            gx_ref[0, o:o + T, :] = g_raw.astype(gx_ref.dtype)
+            # conv weight/bias grads: dpre[i]/dw[k] = ext[i + (K-1-k if
+            # reverse else k)]
+            for k in range(K):
+                idx = (K - 1 - k) if reverse else k
+                cacc_s[k:k + 1] = cacc_s[k:k + 1] + jnp.sum(
+                    ext[idx:idx + T].astype(jnp.float32) * g_pre,
+                    axis=0, keepdims=True)
+            cacc_s[K:K + 1] = cacc_s[K:K + 1] + jnp.sum(
+                g_pre, axis=0, keepdims=True)
+        else:
+            gx_ref[0, o:o + T, :] = g_x.astype(gx_ref.dtype)
 
         acc_s[0:1] = acc_s[0:1] + jnp.sum(dt * g_a, axis=0, keepdims=True)
         acc_s[1:2] = acc_s[1:2] + jnp.sum(g_dt, axis=0, keepdims=True)
@@ -415,6 +650,9 @@ def _bwd_kernel(
     gA_ref[...] = acc_s[0:1]
     gbias_ref[...] = acc_s[1:2]
     gD_ref[...] = acc_s[2:3]
+    if fused:
+        gcw_ref[...] = cacc_s[:K]
+        gcb_ref[...] = cacc_s[K:K + 1]
 
 
 def ssd_pallas_batched_bwd_impl(
@@ -514,6 +752,116 @@ def ssd_pallas_batched_bwd_impl(
     )
 
 
+def ssd_pallas_batched_fused_bwd_impl(
+    xBC, dt, A, conv_w, conv_b, D, dt_bias, g_y, carries,
+    dims,
+    dt_softplus: bool,
+    reverse: bool,
+    T: int,
+    nci: int,
+    interpret: bool = False,
+    g_hN=None,  # (G, H, N, P)
+):
+    """Returns (g_xBC, g_dt, g_A, g_cw, g_cb, g_D, g_bias, g_h0)."""
+    H, Pd, NG, N = dims
+    G, L, Wc = xBC.shape
+    K = conv_w.shape[0]
+    nc = carries.shape[1]
+    nseg = nc // nci
+    Ts = T * nci
+    Lp = nc * T
+
+    gy3 = g_y.reshape(G, L, H * Pd)
+    tensors = [xBC, dt, gy3]
+    if L % Ts != 0:
+        tensors = _pad_ssd(tensors, Lp - L, dt_softplus, dt_bias, H)
+    xp, dt_p, gy_p = tensors
+    hists = _seg_hists(xp, Ts, K, reverse)
+
+    cw_in = jnp.asarray(conv_w, jnp.float32)
+    cb_in = (jnp.zeros((1, Wc), jnp.float32) if conv_b is None
+             else jnp.asarray(conv_b, jnp.float32).reshape(1, Wc))
+    A_in = jnp.asarray(A, jnp.float32).reshape(1, H)
+    D_in = (jnp.zeros((1, H), jnp.float32) if D is None
+            else jnp.asarray(D, jnp.float32).reshape(1, H))
+    bias_in = (jnp.zeros((1, H), jnp.float32) if dt_bias is None
+               else jnp.asarray(dt_bias, jnp.float32).reshape(1, H))
+    ghN_in = (jnp.zeros((G, N, H * Pd), jnp.float32) if g_hN is None
+              else jnp.asarray(g_hN, jnp.float32).transpose(0, 2, 1, 3)
+              .reshape(G, N, H * Pd))
+
+    # bwd walks segments opposite to scan order
+    cmap = ((lambda g, i: (g, i, 0)) if reverse
+            else (lambda g, i: (g, nseg - 1 - i, 0)))
+    hist_map = ((lambda g, i: (g, i, 0, 0)) if reverse
+                else (lambda g, i: (g, nseg - 1 - i, 0, 0)))
+    car_map = ((lambda g, i: (g, i, 0, 0)) if reverse
+               else (lambda g, i: (g, nseg - 1 - i, 0, 0)))
+    full2 = lambda g, i: (0, 0)
+    smap = lambda g, i: (g, 0, 0)
+
+    xbc_spec = pl.BlockSpec((1, Ts, Wc), cmap, memory_space=pltpu.VMEM)
+    gy_spec = pl.BlockSpec((1, Ts, H * Pd), cmap, memory_space=pltpu.VMEM)
+    dt_spec = pl.BlockSpec((1, Ts, H), cmap, memory_space=pltpu.VMEM)
+    cw_spec = pl.BlockSpec((K, Wc), full2, memory_space=pltpu.VMEM)
+    cb_spec = pl.BlockSpec((1, Wc), full2, memory_space=pltpu.VMEM)
+    hist_spec = pl.BlockSpec((1, 1, K - 1, Wc), hist_map,
+                             memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, H), full2, memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((1, N, H * Pd), smap, memory_space=pltpu.VMEM)
+    car_spec = pl.BlockSpec((1, nci, N, H * Pd), car_map,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _bwd_kernel, T=T, nci=nci, H=H, Pd=Pd, NG=NG, N=N, reverse=reverse,
+        dt_softplus=dt_softplus, mm_dtype=xBC.dtype, fused=True, K=K,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G, nseg),
+        in_specs=[xbc_spec, dt_spec, cw_spec, cb_spec, hist_spec,
+                  h_spec, h_spec, h_spec, gy_spec, car_spec, st_spec],
+        out_specs=(xbc_spec, dt_spec, h_spec, h_spec, h_spec,
+                   cw_spec, cb_spec, st_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lp, Wc), xBC.dtype),
+            jax.ShapeDtypeStruct((G, Lp, H), dt.dtype),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((K, Wc), jnp.float32),
+            jax.ShapeDtypeStruct((1, Wc), jnp.float32),
+            jax.ShapeDtypeStruct((G, N, H * Pd), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, H * Pd), jnp.float32),   # λ carry
+            pltpu.VMEM((3, H), jnp.float32),        # [g_A; g_bias; g_D]
+            pltpu.VMEM((K + 1, Wc), jnp.float32),   # [g_w rows; g_b]
+            pltpu.VMEM((K - 1, Wc), jnp.float32),   # conv-adjoint pend
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, dt_p, cw_in, cb_in, hists, A_in, D_in, bias_in, gy_p, carries,
+      ghN_in)
+    g_xBC, g_dt, g_A, g_bias, g_D, g_cw, g_cb, g_h0 = outs
+    g_bias_v = g_bias[0]
+    if Lp != L and not dt_softplus:
+        g_bias_v = jnp.sum(g_dt[:, :L].astype(jnp.float32), axis=(0, 1))
+    return (
+        g_xBC[:, :L],
+        g_dt[:, :L],
+        g_A[0].astype(jnp.asarray(A).dtype),
+        g_cw,
+        g_cb[0],
+        g_D[0],
+        g_bias_v,
+        g_h0.reshape(G, N, H, Pd).transpose(0, 2, 1, 3),
+    )
+
+
 # ===========================================================================
 # custom_vjp wrappers (interface-compatible with ops/ssd_pallas.py)
 # ===========================================================================
@@ -587,6 +935,112 @@ def ssd_pallas_batched(
     y, hN = ssd_pallas_batched_chained(
         x, dt, A, B_mat, C, D, dt_bias, h_init,
         dt_softplus, reverse, chunk_size, interpret, seg_chunks,
+    )
+    if return_final_state:
+        return y, hN
+    return y
+
+
+# ===========================================================================
+# Fused-conv entry (xBC pre-conv in, conv+SiLU+split inside the kernel)
+# ===========================================================================
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def ssd_pallas_batched_fused_chained(
+    xBC, dt, A, conv_w, conv_b, D, dt_bias, h_init,
+    dims=None,            # (H, P, NG, N) — required, static
+    dt_softplus: bool = True,
+    reverse: bool = False,
+    chunk_size: int = 128,
+    interpret: bool = False,
+    seg_chunks: int = 8,
+):
+    """Fused-conv head-batched chained scan: returns (y, h_final).
+
+    ``xBC`` is the PRE-conv (G, L, H·P + 2·NG·N) tensor; the depthwise
+    conv + SiLU + x/B/C split run inside the kernels (fwd and the
+    recompute in bwd), so post-conv activations never exist in HBM —
+    the memory strategy that lets 131k v2 training fit (`ops/ssd.py`
+    fused mode, reference `mamba_ssm` fused path analog). Differentiable
+    in xBC, dt, A, conv_w, conv_b, D, dt_bias, h_init."""
+    return ssd_pallas_batched_fused_fwd_impl(
+        xBC, dt, A, conv_w, conv_b, D, dt_bias, dims, dt_softplus, reverse,
+        chunk_size, interpret, save_carries=False, h_init=h_init,
+        seg_chunks=seg_chunks,
+    )
+
+
+def _fused_chained_fwd(xBC, dt, A, conv_w, conv_b, D, dt_bias, h_init,
+                       dims, dt_softplus, reverse, chunk_size, interpret,
+                       seg_chunks):
+    y, hN, carries, T, nci = ssd_pallas_batched_fused_fwd_impl(
+        xBC, dt, A, conv_w, conv_b, D, dt_bias, dims, dt_softplus, reverse,
+        chunk_size, interpret, save_carries=True, h_init=h_init,
+        seg_chunks=seg_chunks,
+    )
+    return (y, hN), (xBC, dt, A, conv_w, conv_b, D, dt_bias, carries, T,
+                     nci)
+
+
+def _fused_chained_bwd(dims, dt_softplus, reverse, chunk_size, interpret,
+                       seg_chunks, residuals, g):
+    xBC, dt, A, conv_w, conv_b, D, dt_bias, carries, T, nci = residuals
+    g_y, g_hN = g
+    (g_xBC, g_dt, g_A, g_cw, g_cb, g_D, g_bias, g_h0) = (
+        ssd_pallas_batched_fused_bwd_impl(
+            xBC, dt, A, conv_w, conv_b, D, dt_bias,
+            g_y.astype(xBC.dtype), carries, dims, dt_softplus, reverse,
+            T, nci, interpret, g_hN=g_hN,
+        ))
+    g_cw = g_cw.astype(jnp.asarray(conv_w).dtype).reshape(
+        jnp.shape(conv_w))
+    if conv_b is None:
+        g_cb = None
+    else:
+        g_cb = g_cb.astype(jnp.asarray(conv_b).dtype).reshape(
+            jnp.shape(conv_b))
+    if D is None:
+        g_D = None
+    else:
+        g_D = g_D.astype(jnp.asarray(D).dtype).reshape(jnp.shape(D))
+    if dt_bias is None:
+        g_bias = None
+    else:
+        g_bias = g_bias.astype(jnp.asarray(dt_bias).dtype).reshape(
+            jnp.shape(dt_bias))
+    return (g_xBC.astype(xBC.dtype), g_dt.astype(dt.dtype), g_A, g_cw,
+            g_cb, g_D, g_bias, g_h0)
+
+
+ssd_pallas_batched_fused_chained.defvjp(_fused_chained_fwd,
+                                        _fused_chained_bwd)
+
+
+def ssd_pallas_batched_fused(
+    xBC, dt, A, conv_w,
+    conv_b=None,
+    D=None,
+    dt_bias=None,
+    dims=None,
+    dt_softplus: bool = False,
+    reverse: bool = False,
+    chunk_size: int = 128,
+    interpret: bool = False,
+    h_init=None,
+    return_final_state: bool = False,
+    seg_chunks: int = 8,
+):
+    """Fused-conv drop-in: `ssd_chunked(conv_w=..., dims=...)` semantics
+    on the head-batched Pallas kernels."""
+    assert dims is not None, "dims=(H, P, NG, N) is required"
+    H, Pd, NG, N = dims
+    if h_init is None:
+        G = xBC.shape[0]
+        h_init = jnp.zeros((G, H, N, Pd), jnp.float32)
+    y, hN = ssd_pallas_batched_fused_chained(
+        xBC, dt, A, conv_w, conv_b, D, dt_bias, h_init,
+        tuple(dims), dt_softplus, reverse, chunk_size, interpret,
+        seg_chunks,
     )
     if return_final_state:
         return y, hN

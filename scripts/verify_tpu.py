@@ -267,6 +267,59 @@ def main():
     for n, a, b in zip(["x", "dt", "B", "C"], gsb, gf):
         _check(f"ssd-batched chained grad {n}", a, b, 5e-3, failures)
 
+    # ---- fused-conv head-batched SSD kernels ----
+    # conv + SiLU + x/B/C split inside the kernel (the production
+    # pallas_batched model path); verifies Mosaic lowering of the in-kernel
+    # conv, the segment-boundary history rows, and the conv-transpose
+    # spillover carry in the adjoint.
+    from caduceus_tpu.ops.ssd_pallas_batched import ssd_pallas_batched_fused
+
+    Wc = H2 * P2 + 2 * NG2 * N2
+    kf = jax.random.split(jax.random.PRNGKey(3), 3)
+    xbc = jax.random.normal(kf[0], (G2, L2, Wc))
+    cw = jax.random.normal(kf[1], (4, Wc)) * 0.5
+    cb = jax.random.normal(kf[2], (Wc,)) * 0.1
+    dims2 = (H2, P2, NG2, N2)
+
+    for reverse in (False, True):
+        y_k = jax.jit(
+            lambda *a, r=reverse: ssd_pallas_batched_fused(
+                a[0], a[1], a[2], a[3], conv_b=a[4], D=a[5], dt_bias=a[6],
+                dims=dims2, dt_softplus=True, reverse=r,
+                chunk_size=128, seg_chunks=8)
+        )(xbc, dts, As, cw, cb, Ds, bs)
+        y_o = jax.jit(
+            lambda *a, r=reverse: ssd_chunked(
+                a[0], a[1], a[2], None, None, D=a[5], dt_bias=a[6],
+                dt_softplus=True, reverse=r, chunk_size=128, seg_chunks=8,
+                conv_w=a[3], conv_b=a[4], dims=dims2)
+        )(xbc, dts, As, cw, cb, Ds, bs)
+        _check(f"ssd-fused fwd kernel reverse={reverse}", y_k, y_o, 2e-3,
+               failures)
+
+    def ssd_f_loss(fused):
+        def loss(args):
+            if fused:
+                y = ssd_pallas_batched_fused(
+                    args[0], args[1], args[2], args[3], conv_b=args[4],
+                    D=args[5], dt_bias=args[6], dims=dims2,
+                    dt_softplus=True, chunk_size=128, seg_chunks=8)
+            else:
+                y = ssd_chunked(
+                    args[0], args[1], args[2], None, None, D=args[5],
+                    dt_bias=args[6], dt_softplus=True, chunk_size=128,
+                    seg_chunks=8, conv_w=args[3], conv_b=args[4],
+                    dims=dims2)
+            return jnp.sum(jnp.square(y.astype(jnp.float32))) / y.size
+        return loss
+
+    fused_args = (xbc, dts, As, cw, cb, Ds, bs)
+    g_fk = jax.jit(jax.grad(ssd_f_loss(True)))(fused_args)
+    g_fo = jax.jit(jax.grad(ssd_f_loss(False)))(fused_args)
+    for n, a, b in zip(["xBC", "dt", "A", "conv_w", "conv_b", "D",
+                        "dt_bias"], g_fk, g_fo):
+        _check(f"ssd-fused bwd grad {n}", a, b, 5e-3, failures)
+
     # ---- flash attention (hybrid-MHA layers) vs the XLA oracle ----
     # bf16-class MXU rounding inside the kernel → looser tolerance.
     from caduceus_tpu.ops.attention import mha_attention

@@ -264,6 +264,103 @@ def test_sequence_parallel_batched_local_impl():
                                    atol=5e-4, err_msg=n)
 
 
+def make_fused_inputs(G=2, L=100, H=4, P=8, NG=2, N=16, K=4, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda s, sc=1.0: jnp.asarray(rng.standard_normal(s) * sc,
+                                       jnp.float32)
+    Wc = H * P + 2 * NG * N
+    xBC = mk((G, L, Wc))
+    dt = mk((G, L, H), 0.5)
+    A = -jnp.exp(mk((H,), 0.5))
+    D = mk((H,))
+    bias = mk((H,), 0.1)
+    cw = mk((K, Wc), 0.5)
+    cb = mk((Wc,), 0.1)
+    return xBC, dt, A, cw, cb, D, bias, (H, P, NG, N)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fused_fwd_matches_oracle(reverse):
+    """Fused-conv mode vs `ssd_chunked`'s fused-conv mode: conv + SiLU +
+    split inside the kernel, including the segment-boundary conv history
+    rows and final-state parity."""
+    from caduceus_tpu.ops.ssd_pallas_batched import ssd_pallas_batched_fused
+
+    xBC, dt, A, cw, cb, D, bias, dims = make_fused_inputs()
+    want, hN_want = ssd_chunked(
+        xBC, dt, A, None, None, D=D, dt_bias=bias, dt_softplus=True,
+        reverse=reverse, chunk_size=16, conv_w=cw, conv_b=cb, dims=dims,
+        return_final_state=True, seg_chunks=2)
+    got, hN = ssd_pallas_batched_fused(
+        xBC, dt, A, cw, conv_b=cb, D=D, dt_bias=bias, dims=dims,
+        dt_softplus=True, reverse=reverse, chunk_size=16, interpret=True,
+        return_final_state=True, seg_chunks=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hN), np.asarray(hN_want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fused_grads_match_oracle(reverse):
+    """Full fused adjoint incl. conv weight/bias grads and the conv
+    transpose's cross-chunk/cross-segment spillover carry."""
+    from caduceus_tpu.ops.ssd_pallas_batched import ssd_pallas_batched_fused
+
+    xBC, dt, A, cw, cb, D, bias, dims = make_fused_inputs()
+    gy = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (xBC.shape[0], xBC.shape[1], dims[0], dims[1])), jnp.float32)
+
+    def f_ref(*args):
+        return jnp.sum(ssd_chunked(
+            args[0], args[1], args[2], None, None, D=args[5],
+            dt_bias=args[6], dt_softplus=True, reverse=reverse,
+            chunk_size=16, conv_w=args[3], conv_b=args[4], dims=dims,
+            seg_chunks=2) * gy)
+
+    def f_pal(*args):
+        return jnp.sum(ssd_pallas_batched_fused(
+            args[0], args[1], args[2], args[3], conv_b=args[4], D=args[5],
+            dt_bias=args[6], dims=dims, dt_softplus=True, reverse=reverse,
+            chunk_size=16, interpret=True, seg_chunks=2) * gy)
+
+    args = (xBC, dt, A, cw, cb, D, bias)
+    g_ref = jax.grad(f_ref, argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(f_pal, argnums=tuple(range(7)))(*args)
+    for name, a, b in zip("xBC dt A cw cb D bias".split(), g_pal, g_ref):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s, atol=2e-5,
+            err_msg=f"fused grad mismatch: {name} (reverse={reverse})")
+
+
+def test_fused_chained_state():
+    """Chained fused segments: h_init threads exactly (the conv history at
+    the chain boundary comes from each segment's own xBC, matching the
+    model's full-sequence semantics only at conv-state-free boundaries —
+    so, like `ssd_chunked`, the chain contract covers the SSD state)."""
+    from caduceus_tpu.ops.ssd_pallas_batched import ssd_pallas_batched_fused
+
+    xBC, dt, A, cw, cb, D, bias, dims = make_fused_inputs(L=64)
+    H, P, NG, N = dims
+    G = xBC.shape[0]
+    h0 = jnp.asarray(
+        np.random.default_rng(11).standard_normal((G, H, N, P)),
+        jnp.float32)
+    want, hN_want = ssd_chunked(
+        xBC, dt, A, None, None, D=D, dt_bias=bias, dt_softplus=True,
+        chunk_size=16, conv_w=cw, conv_b=cb, dims=dims, h_init=h0,
+        return_final_state=True, seg_chunks=2)
+    got, hN = ssd_pallas_batched_fused(
+        xBC, dt, A, cw, conv_b=cb, D=D, dt_bias=bias, dims=dims,
+        dt_softplus=True, chunk_size=16, interpret=True, h_init=h0,
+        return_final_state=True, seg_chunks=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hN), np.asarray(hN_want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_h_init_threading():
     """Nonzero h_init: batched == base-oracle with the same initial state."""
     x, dt, A, B, C, D, bias = make_inputs(L=48)
