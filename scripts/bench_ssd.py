@@ -89,37 +89,75 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--K", type=int, default=8)
     p.add_argument("--impl", default="pallas",
-                   help="pallas | batched (ops/ssd_pallas_batched.py)")
+                   help="pallas | batched | fused "
+                        "(ops/ssd_pallas_batched.py; fused = in-kernel "
+                        "conv+SiLU+split over raw xBC)")
     args = p.parse_args()
     G, L, H, P, NG, N = args.G, args.L, args.H, args.P, args.NG, args.N
     x, dt, A, B, C, D, bias = make_inputs(G, L, H, P, NG, N)
     print(f"shapes: G={G} L={L} H={H} P={P} NG={NG} N={N} "
           f"chunk={args.chunk} seg={args.seg} impl={args.impl}")
 
-    if args.impl == "batched":
-        from caduceus_tpu.ops.ssd_pallas_batched import ssd_pallas_batched as ssd
-    else:
-        from caduceus_tpu.ops.ssd_pallas import ssd_pallas as ssd
-
     K = args.K
 
-    def call(x, dt, A, B, C, D, bias):
-        return ssd(x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=True,
-                   chunk_size=args.chunk, seg_chunks=args.seg)
+    if args.impl == "fused":
+        from caduceus_tpu.ops.ssd_pallas_batched import (
+            ssd_pallas_batched_fused)
+
+        Wc = H * P + 2 * NG * N
+        rng = np.random.default_rng(1)
+        xBC = jnp.asarray(rng.standard_normal((G, L, Wc)), x.dtype)
+        cw = jnp.asarray(rng.standard_normal((4, Wc)) * 0.5, jnp.float32)
+        cb = jnp.asarray(rng.standard_normal(Wc) * 0.1, jnp.float32)
+
+        def call(xBC, dt, A, cw, cb, D, bias):
+            return ssd_pallas_batched_fused(
+                xBC, dt, A, cw, conv_b=cb, D=D, dt_bias=bias,
+                dims=(H, P, NG, N), dt_softplus=True,
+                chunk_size=args.chunk, seg_chunks=args.seg)
+
+        inputs = (xBC, dt, A, cw, cb, D, bias)
+    else:
+        if args.impl == "batched":
+            from caduceus_tpu.ops.ssd_pallas_batched import (
+                ssd_pallas_batched as ssd)
+        else:
+            from caduceus_tpu.ops.ssd_pallas import ssd_pallas as ssd
+
+        def call(x, dt, A, B, C, D, bias):
+            return ssd(x, dt, A, B, C, D=D, dt_bias=bias, dt_softplus=True,
+                       chunk_size=args.chunk, seg_chunks=args.seg)
+
+        inputs = (x, dt, A, B, C, D, bias)
 
     if args.which in ("fwd", "all"):
-        fn = chain(call, K)
-        t = timeit(fn, x, dt, A, B, C, D, bias, iters=args.iters) / K
+        if args.impl == "fused":
+            # the fused output is (G, L, H, P) while the chained input is
+            # (G, L, Wc): reproject so the K-loop stays shape-stable
+            def step(xBC, dt, A, cw, cb, D, bias):
+                y = call(xBC, dt, A, cw, cb, D, bias)
+                return jnp.pad(
+                    y.reshape(y.shape[0], y.shape[1], -1),
+                    ((0, 0), (0, 0), (0, xBC.shape[-1] - H * P)))
+
+            fn = chain(step, K)
+        else:
+            fn = chain(call, K)
+        t = timeit(fn, *inputs, iters=args.iters) / K
         report(f"ssd fwd (chunk {args.chunk} seg {args.seg})", t, G, L)
 
     if args.which in ("bwd", "all"):
-        def loss(x, dt, A, B, C, D, bias):
-            y = call(x, dt, A, B, C, D, bias)
+        def loss(*a):
+            y = call(*a)
             return jnp.sum(y.astype(jnp.float32))
 
         gfn = jax.grad(loss, argnums=(0,))
-        g = chain(lambda x, *rest: gfn(x, *rest)[0].astype(x.dtype), K)
-        t = timeit(g, x, dt, A, B, C, D, bias, iters=args.iters) / K
+        if args.impl == "fused":
+            g = chain(lambda xBC, *rest: gfn(xBC, *rest)[0].astype(
+                xBC.dtype), K)
+        else:
+            g = chain(lambda x, *rest: gfn(x, *rest)[0].astype(x.dtype), K)
+        t = timeit(g, *inputs, iters=args.iters) / K
         report(f"ssd fwd+bwd (chunk {args.chunk} seg {args.seg})", t, G, L)
 
 
