@@ -91,28 +91,41 @@ def _hi_mm(a, b):
     )
 
 
-def _conv_ext(blk, hist, o, T, K, nci_edge: bool, reverse: bool):
-    """(T+K-1, Wc) raw rows for one chunk's depthwise conv.
+# Sublane row count of the conv-history blocks. Mosaic rejects sublane-dim
+# concatenation of tiles whose row counts are not multiples of the (8, 128)
+# tile ("result/input offset mismatch on non-concat dimension" — observed
+# on device with a (3, Wc) ++ (T, Wc) concat), so histories are carried as
+# full 8-row blocks with only the edge K-1 rows meaningful.
+_HIST_ROWS = 8
 
-    Forward conv reads K-1 rows BEFORE the chunk (from the block when the
-    chunk has an in-block predecessor, else the precomputed segment-boundary
-    ``hist``); the reverse/anti-causal direction reads K-1 rows AFTER."""
+
+def _conv_ext(blk, hist8, o, T, K, nci_edge: bool, reverse: bool):
+    """(T+8, Wc) raw rows for one chunk's depthwise conv.
+
+    Forward conv reads rows BEFORE the chunk — an 8-row head whose last
+    K-1 rows matter (from the block when the chunk has an in-block
+    predecessor, else the precomputed segment-boundary ``hist8``); the
+    reverse/anti-causal direction reads an 8-row tail (first K-1 rows
+    matter)."""
+    HB = _HIST_ROWS
     if reverse:
-        after = hist if nci_edge else blk[o + T:o + T + K - 1]
+        after = hist8 if nci_edge else blk[o + T:o + T + HB]
         return jnp.concatenate([blk[o:o + T], after], axis=0)
-    before = hist if nci_edge else blk[o - (K - 1):o]
+    before = hist8 if nci_edge else blk[o - HB:o]
     return jnp.concatenate([before, blk[o:o + T]], axis=0)
 
 
-def _conv_pre(ext, cw, cb, T, reverse: bool):
-    """fp32 pre-activation depthwise conv over ``ext`` (T+K-1, Wc).
+def _conv_pre(ext, cw, cb, T, reverse: bool, base: int = 0):
+    """fp32 pre-activation depthwise conv over ``ext`` rows.
 
-    Matches `ops/conv.py causal_conv1d`: forward y[i] = Σ_k w[k]·ext[i+k]
-    (tap K-1 = current row); reverse y[i] = Σ_k w[k]·ext[i+K-1-k]."""
+    Matches `ops/conv.py causal_conv1d`: forward y[i] = Σ_k w[k]·
+    ext[base+i+k] (tap K-1 = current row); reverse y[i] = Σ_k w[k]·
+    ext[base+i+K-1-k]. ``base`` skips the unused head rows of an 8-row
+    history block."""
     K = cw.shape[0]
     acc = None
     for k in range(K):
-        idx = (K - 1 - k) if reverse else k
+        idx = base + ((K - 1 - k) if reverse else k)
         term = ext[idx:idx + T].astype(jnp.float32) * cw[k:k + 1]
         acc = term if acc is None else acc + term
     if cb is not None:
@@ -125,17 +138,19 @@ def _silu(p):
 
 
 def _seg_hists(xp, Ts, K, reverse: bool):
-    """(G, nseg, K-1, Wc) segment-boundary conv history rows, gathered by
-    XLA as strided slices (no sequential dependency): forward = the K-1
-    rows before each segment (zeros for the first), reverse = the K-1 rows
-    after (zeros for the last)."""
+    """(G, nseg, 8, Wc) segment-boundary conv history rows, gathered by
+    XLA as strided slices (no sequential dependency): forward = the 8 rows
+    before each segment (last K-1 meaningful; zeros for the first),
+    reverse = the 8 rows after (first K-1 meaningful; zeros for the
+    last)."""
     G, Lp, Wc = xp.shape
+    HB = _HIST_ROWS
     nseg = Lp // Ts
     if reverse:
         arr = jnp.pad(xp, ((0, 0), (0, Ts), (0, 0)))[:, Ts:Ts + Lp]
     else:
-        arr = jnp.pad(xp, ((0, 0), (K - 1, 0), (0, 0)))[:, :Lp]
-    return arr.reshape(G, nseg, Ts, Wc)[:, :, :K - 1]
+        arr = jnp.pad(xp, ((0, 0), (HB, 0), (0, 0)))[:, :Lp]
+    return arr.reshape(G, nseg, Ts, Wc)[:, :, :HB]
 
 
 def _fwd_kernel(
@@ -196,7 +211,8 @@ def _fwd_kernel(
             edge = (c == nci - 1) if reverse else (c == 0)
             ext = _conv_ext(xBC_ref[0], hist_ref[0, 0], o, T, K, edge,
                             reverse)
-            pre = _conv_pre(ext, cw_ref[...], cb_ref[...], T, reverse)
+            pre = _conv_pre(ext, cw_ref[...], cb_ref[...], T, reverse,
+                            base=0 if reverse else _HIST_ROWS - (K - 1))
             xc = _silu(pre)                               # (T, Wc) fp32
             xf = xc[:, :H * Pd]
             Bm = xc[:, H * Pd:H * Pd + NG * N]
@@ -345,7 +361,10 @@ def ssd_pallas_batched_fused_fwd_impl(
     G, L, Wc = xBC.shape
     assert Wc == H * Pd + 2 * NG * N, (xBC.shape, dims)
     K = conv_w.shape[0]
+    assert K - 1 <= _HIST_ROWS, f"conv width {K} exceeds the 8-row history"
     T = min(chunk_size, L)
+    assert T >= _HIST_ROWS, (
+        f"fused-conv mode needs chunk_size >= {_HIST_ROWS} (got {T})")
     nci = max(1, min(seg_chunks, -(-L // T)))
     Ts = T * nci
 
@@ -380,7 +399,7 @@ def ssd_pallas_batched_fused_fwd_impl(
     dt_spec = pl.BlockSpec((1, Ts, H), cmap, memory_space=pltpu.VMEM)
     cw_spec = pl.BlockSpec((K, Wc), full2, memory_space=pltpu.VMEM)
     cb_spec = pl.BlockSpec((1, Wc), full2, memory_space=pltpu.VMEM)
-    hist_spec = pl.BlockSpec((1, 1, K - 1, Wc), hist_map,
+    hist_spec = pl.BlockSpec((1, 1, _HIST_ROWS, Wc), hist_map,
                              memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((1, H), full2, memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((1, N, H * Pd), smap, memory_space=pltpu.VMEM)
@@ -507,7 +526,9 @@ def _bwd_kernel(
             edge = (c == nci - 1) if reverse else (c == 0)
             ext = _conv_ext(xBC_ref[0], hist_ref[0, 0], o, T, K, edge,
                             reverse)
-            pre = _conv_pre(ext, cw_ref[...], cb_ref[...], T, reverse)
+            conv_base = 0 if reverse else _HIST_ROWS - (K - 1)
+            pre = _conv_pre(ext, cw_ref[...], cb_ref[...], T, reverse,
+                            base=conv_base)
             sig = jax.nn.sigmoid(pre)
             xc = pre * sig
             xf = xc[:, :H * Pd]
@@ -621,19 +642,25 @@ def _bwd_kernel(
                 [g_x, jnp.concatenate(gB_cols, axis=1),
                  jnp.concatenate(gC_cols, axis=1)], axis=1)   # (T, Wc)
             g_pre = g_post * sig * (1.0 + pre * (1.0 - sig))
+            # pend carries an 8-row block of the neighbor chunk's g_pre
+            # (only the edge K-1 rows are read — same Mosaic sublane-
+            # alignment rule as the conv histories)
             if reverse:
                 gext = jnp.concatenate([pend_s[...], g_pre], axis=0)
-                pend_s[...] = g_pre[T - K + 1:]
+                pend_s[...] = g_pre[T - _HIST_ROWS:]
+                g_raw = _conv_pre(gext, cw_ref[...], None, T,
+                                  reverse=False,
+                                  base=_HIST_ROWS - (K - 1))
             else:
                 gext = jnp.concatenate([g_pre, pend_s[...]], axis=0)
-                pend_s[...] = g_pre[:K - 1]
-            g_raw = _conv_pre(gext, cw_ref[...], None, T,
-                              reverse=not reverse)
+                pend_s[...] = g_pre[:_HIST_ROWS]
+                g_raw = _conv_pre(gext, cw_ref[...], None, T,
+                                  reverse=True, base=0)
             gx_ref[0, o:o + T, :] = g_raw.astype(gx_ref.dtype)
-            # conv weight/bias grads: dpre[i]/dw[k] = ext[i + (K-1-k if
-            # reverse else k)]
+            # conv weight/bias grads: dpre[i]/dw[k] = the same ext row the
+            # forward tap k read
             for k in range(K):
-                idx = (K - 1 - k) if reverse else k
+                idx = conv_base + ((K - 1 - k) if reverse else k)
                 cacc_s[k:k + 1] = cacc_s[k:k + 1] + jnp.sum(
                     ext[idx:idx + T].astype(jnp.float32) * g_pre,
                     axis=0, keepdims=True)
@@ -805,7 +832,7 @@ def ssd_pallas_batched_fused_bwd_impl(
     dt_spec = pl.BlockSpec((1, Ts, H), cmap, memory_space=pltpu.VMEM)
     cw_spec = pl.BlockSpec((K, Wc), full2, memory_space=pltpu.VMEM)
     cb_spec = pl.BlockSpec((1, Wc), full2, memory_space=pltpu.VMEM)
-    hist_spec = pl.BlockSpec((1, 1, K - 1, Wc), hist_map,
+    hist_spec = pl.BlockSpec((1, 1, _HIST_ROWS, Wc), hist_map,
                              memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((1, H), full2, memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((1, N, H * Pd), smap, memory_space=pltpu.VMEM)
@@ -837,7 +864,7 @@ def ssd_pallas_batched_fused_bwd_impl(
             pltpu.VMEM((N, H * Pd), jnp.float32),   # λ carry
             pltpu.VMEM((3, H), jnp.float32),        # [g_A; g_bias; g_D]
             pltpu.VMEM((K + 1, Wc), jnp.float32),   # [g_w rows; g_b]
-            pltpu.VMEM((K - 1, Wc), jnp.float32),   # conv-adjoint pend
+            pltpu.VMEM((_HIST_ROWS, Wc), jnp.float32),  # conv-adjoint pend
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
