@@ -192,16 +192,19 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32, precision=_HI,
         )                                                 # (T, H) inclusive
         total = jnp.sum(a, axis=0, keepdims=True)         # (1, H)
-        # one stacked selector expansion instead of four (3T+1 rows)
+        # one stacked selector expansion instead of four. Row order keeps
+        # every (T,·) slice 8-row aligned (dt at 2T, e_end last): an
+        # odd-offset slice propagates a sublane offset into its consumers,
+        # which Mosaic rejects at some ops ("offset mismatch").
         vals_x = _hi_mm(
             jnp.concatenate(
-                [jnp.exp(cum), jnp.exp(total - cum), jnp.exp(total), dt],
+                [jnp.exp(cum), jnp.exp(total - cum), dt, jnp.exp(total)],
                 axis=0),
             SEL)                                          # (3T+1, H·P)
         ecum_x = vals_x[:T]
         w_x = vals_x[T:2 * T]
-        e_end_x = vals_x[2 * T:2 * T + 1]
-        dt_x = vals_x[2 * T + 1:]
+        dt_x = vals_x[2 * T:3 * T]
+        e_end_x = vals_x[3 * T:3 * T + 1]
         cum_rows = jnp.transpose(cum)                     # (H, T)
 
         if fused:
@@ -511,13 +514,14 @@ def _bwd_kernel(
         total = jnp.sum(a, axis=0, keepdims=True)
         ecum = jnp.exp(cum)
         w = jnp.exp(total - cum)
-        # one stacked selector expansion instead of four (3T+1 rows)
+        # one stacked selector expansion instead of four; 8-row-aligned
+        # slices (see the fwd kernel's layout note)
         vals_x = _hi_mm(
-            jnp.concatenate([ecum, w, jnp.exp(total), dt], axis=0), SEL)
+            jnp.concatenate([ecum, w, dt, jnp.exp(total)], axis=0), SEL)
         ecum_x = vals_x[:T]
         w_x = vals_x[T:2 * T]
-        e_end_x = vals_x[2 * T:2 * T + 1]
-        dt_x = vals_x[2 * T + 1:]
+        dt_x = vals_x[2 * T:3 * T]
+        e_end_x = vals_x[3 * T:3 * T + 1]
         cum_rows = jnp.transpose(cum)
 
         if fused:
@@ -634,38 +638,49 @@ def _bwd_kernel(
 
         g_x = dt_x * g_dx + D_x * gy
         if fused:
-            # silu + depthwise-conv adjoint. g_post -> g_pre via silu';
-            # the conv transpose spreads g_pre K-1 rows toward the
-            # neighbor chunk processed NEXT in this walk (pend_s carries
-            # the spillover across chunks AND segment grid steps).
-            g_post = jnp.concatenate(
-                [g_x, jnp.concatenate(gB_cols, axis=1),
-                 jnp.concatenate(gC_cols, axis=1)], axis=1)   # (T, Wc)
-            g_pre = g_post * sig * (1.0 + pre * (1.0 - sig))
-            # pend carries an 8-row block of the neighbor chunk's g_pre
-            # (only the edge K-1 rows are read — same Mosaic sublane-
-            # alignment rule as the conv histories)
-            if reverse:
-                gext = jnp.concatenate([pend_s[...], g_pre], axis=0)
-                pend_s[...] = g_pre[T - _HIST_ROWS:]
-                g_raw = _conv_pre(gext, cw_ref[...], None, T,
-                                  reverse=False,
-                                  base=_HIST_ROWS - (K - 1))
-            else:
-                gext = jnp.concatenate([g_pre, pend_s[...]], axis=0)
-                pend_s[...] = g_pre[:_HIST_ROWS]
-                g_raw = _conv_pre(gext, cw_ref[...], None, T,
-                                  reverse=True, base=0)
-            gx_ref[0, o:o + T, :] = g_raw.astype(gx_ref.dtype)
-            # conv weight/bias grads: dpre[i]/dw[k] = the same ext row the
-            # forward tap k read
-            for k in range(K):
-                idx = conv_base + ((K - 1 - k) if reverse else k)
-                cacc_s[k:k + 1] = cacc_s[k:k + 1] + jnp.sum(
-                    ext[idx:idx + T].astype(jnp.float32) * g_pre,
-                    axis=0, keepdims=True)
-            cacc_s[K:K + 1] = cacc_s[K:K + 1] + jnp.sum(
-                g_pre, axis=0, keepdims=True)
+            # silu + depthwise-conv adjoint, per column piece (x | B | C).
+            # Piece-wise avoids a lane-dim concatenate whose operands can
+            # carry different sublane offsets (Mosaic rejects that); the
+            # conv transpose is per-channel, so pieces are independent.
+            # pend_s carries an 8-row block of the neighbor chunk's g_pre
+            # toward the chunk processed NEXT in this walk (across chunks
+            # AND segment grid steps).
+            pieces = [(0, H * Pd, g_x)]
+            for g in range(NG):
+                lo = H * Pd + g * N
+                pieces.append((lo, N, gB_cols[g]))
+            for g in range(NG):
+                lo = H * Pd + NG * N + g * N
+                pieces.append((lo, N, gC_cols[g]))
+            for lo, width, g_piece in pieces:
+                hi = lo + width
+                pre_p = pre[:, lo:hi]
+                sig_p = sig[:, lo:hi]
+                g_pre = g_piece * sig_p * (1.0 + pre_p * (1.0 - sig_p))
+                cw_p = cw_ref[:, lo:hi]
+                if reverse:
+                    gext = jnp.concatenate([pend_s[:, lo:hi], g_pre],
+                                           axis=0)
+                    pend_s[:, lo:hi] = g_pre[T - _HIST_ROWS:]
+                    g_raw = _conv_pre(gext, cw_p, None, T, reverse=False,
+                                      base=_HIST_ROWS - (K - 1))
+                else:
+                    gext = jnp.concatenate([g_pre, pend_s[:, lo:hi]],
+                                           axis=0)
+                    pend_s[:, lo:hi] = g_pre[:_HIST_ROWS]
+                    g_raw = _conv_pre(gext, cw_p, None, T, reverse=True,
+                                      base=0)
+                gx_ref[0, o:o + T, lo:hi] = g_raw.astype(gx_ref.dtype)
+                # conv weight/bias grads: dpre[i]/dw[k] = the same ext
+                # row the forward tap k read
+                for k in range(K):
+                    idx = conv_base + ((K - 1 - k) if reverse else k)
+                    cacc_s[k:k + 1, lo:hi] = cacc_s[k:k + 1, lo:hi] + \
+                        jnp.sum(
+                            ext[idx:idx + T, lo:hi].astype(jnp.float32)
+                            * g_pre, axis=0, keepdims=True)
+                cacc_s[K:K + 1, lo:hi] = cacc_s[K:K + 1, lo:hi] + jnp.sum(
+                    g_pre, axis=0, keepdims=True)
         else:
             gx_ref[0, o:o + T, :] = g_x.astype(gx_ref.dtype)
 
