@@ -214,7 +214,12 @@ class _DirectionParamsV2(nn.Module):
     def _resolved_kernel(self) -> str:
         use_kernel = self.cfg.ssm_cfg.use_kernel
         if use_kernel == "auto":
-            use_kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
+            # head-batched kernels (fused-conv on the single-device path)
+            # are the measured TPU frontier for v2 — -37% training-step
+            # kernel cost vs the per-head kernel at the 131k geometry
+            # (PARITY.md r4); on-device gate rows in scripts/verify_tpu.py
+            use_kernel = ("xla" if jax.default_backend() == "cpu"
+                          else "pallas_batched")
         return use_kernel
 
     def _sharded_ssd(self, x3: jnp.ndarray, dt3: jnp.ndarray, reverse: bool,
