@@ -70,19 +70,21 @@ def main():
     # checkpoint RCPS block frame, one strand swap + (L,d) reversal per
     # block); 0 benches the cheaper non-fused frame.
     fused_frame = os.environ.get("BENCH_FUSED_FRAME", "1") == "1"
-    # BENCH_SSM_VERSION=2 benches the Mamba-2 (SSD) mixer — the MXU-chunked
-    # beyond-reference family (`models/mamba2.py`); d_state follows the
-    # mamba-ssm 2.x default (128) there, overridable via BENCH_D_STATE.
-    ssm_version = int(os.environ.get("BENCH_SSM_VERSION", 1))
+    # Headline default (r4): the Mamba-2 (SSD) mixer with the fused-conv
+    # head-batched Pallas kernels — 104.5k tok/s/chip at the 131k geometry
+    # vs v1's 79.0k same-session, at 8× the reference's per-head state
+    # width (d_state 128 vs 16; mamba-ssm 2.x default). BENCH_SSM_VERSION=1
+    # benches the v1 (selective-scan, reference-architecture) family.
+    ssm_version = int(os.environ.get("BENCH_SSM_VERSION", 2))
     if ssm_version == 2:
         ssm_cfg = SSMConfig(
             version=2,
             use_kernel=kernel,
             d_state=int(os.environ.get("BENCH_D_STATE", 128)),
-            ssd_chunk_size=int(os.environ.get("BENCH_SSD_CHUNK", 256)),
-            # seg=8 exceeds the 16 MB scoped-VMEM limit in the Pallas bwd
-            # kernel at the headline geometry (measured r3); 4 fits
-            ssd_seg_chunks=int(os.environ.get("BENCH_SSD_SEG", 4)),
+            # measured r4 optimum for the head-batched kernels (T=128 =
+            # one MXU tile; chunk/seg sweep in PARITY.md)
+            ssd_chunk_size=int(os.environ.get("BENCH_SSD_CHUNK", 128)),
+            ssd_seg_chunks=int(os.environ.get("BENCH_SSD_SEG", 8)),
         )
     else:
         ssm_cfg = SSMConfig(use_kernel=kernel)
