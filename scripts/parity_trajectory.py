@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def run(kernel, steps, d_model, n_layer, seqlen, batch, seed):
+def run(kernel, steps, d_model, n_layer, seqlen, batch, seed, version=1):
     import jax
     import jax.numpy as jnp
 
@@ -32,9 +32,15 @@ def run(kernel, steps, d_model, n_layer, seqlen, batch, seed):
     from caduceus_tpu.train.trainer import TrainState, make_train_step
 
     tok = CaduceusTokenizer()
+    if version == 2:
+        ssm = SSMConfig(version=2, d_state=128, headdim=64, ngroups=1,
+                        ssd_chunk_size=128, ssd_seg_chunks=8,
+                        use_kernel=kernel)
+    else:
+        ssm = SSMConfig(use_kernel=kernel)
     cfg = CaduceusConfig(
         d_model=d_model, n_layer=n_layer, vocab_size=tok.vocab_size,
-        ssm_cfg=SSMConfig(use_kernel=kernel), rcps=True,
+        ssm_cfg=ssm, rcps=True,
         complement_map=tok.complement_map, dtype="bfloat16",
         residual_in_fp32=False,
     )
@@ -73,14 +79,19 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tol", type=float, default=0.03,
                    help="max allowed relative loss gap (bf16 training noise)")
+    p.add_argument("--version", type=int, default=1, choices=[1, 2],
+                   help="2 = SSD family (pallas side runs the fused-conv "
+                        "head-batched kernels via the v2 auto resolution)")
     args = p.parse_args()
 
-    pallas = run("pallas", args.steps, args.d_model, args.n_layer,
-                 args.seqlen, args.batch, args.seed)
+    kernel = "pallas_batched" if args.version == 2 else "pallas"
+    pallas = run(kernel, args.steps, args.d_model, args.n_layer,
+                 args.seqlen, args.batch, args.seed, version=args.version)
     xla = run("xla", args.steps, args.d_model, args.n_layer,
-              args.seqlen, args.batch, args.seed)
+              args.seqlen, args.batch, args.seed, version=args.version)
     gaps = [abs(a - b) / max(abs(b), 1e-6) for a, b in zip(pallas, xla)]
     out = {
+        "version": args.version,
         "steps": args.steps,
         "final_loss_pallas": pallas[-1],
         "final_loss_xla": xla[-1],
