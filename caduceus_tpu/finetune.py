@@ -359,7 +359,7 @@ def _export_finetuned(args, cfg, model_kind, select, best_export):
         "max_length": int(args.max_length),
         "seed": int(seed),
         "select_metric": select,
-        "score": float(score),
+        "val_score": float(score),
         "model_cfg": model_cfg,
     }
     with open(os.path.join(args.save_dir, "task_config.json"), "w") as f:
@@ -585,10 +585,14 @@ def main(argv=None):
         )
         if args.save_dir:
             r, state = r
+            # cross-seed selection by the VAL metric (test scores must not
+            # drive which model ships — same leakage rule as per-seed
+            # best-val checkpointing)
+            sel = r["best_val"]
             if best_export is None or (
-                    r[key] < best_export[0] if lower_better
-                    else r[key] > best_export[0]):
-                best_export = (r[key], seed, state, dm.num_classes, dm)
+                    sel < best_export[0] if lower_better
+                    else sel > best_export[0]):
+                best_export = (sel, seed, state, dm.num_classes, dm)
         r["seed"] = seed
         results.append(r)
         print(json.dumps(r))

@@ -267,10 +267,14 @@ def lm_step(
 
 
 def _resolved_infer_kernel(cfg: CaduceusConfig) -> str:
-    """Mirror the model's kernel auto-resolution (`models/mamba2.py`)."""
+    """Mirror the model's kernel auto-resolution (`models/mamba2.py` /
+    `models/mamba.py`): v2 auto resolves to the head-batched kernels on
+    TPU, v1 to the base Pallas kernels."""
     k = cfg.ssm_cfg.use_kernel
     if k == "auto":
-        return "xla" if jax.default_backend() == "cpu" else "pallas"
+        if jax.default_backend() == "cpu":
+            return "xla"
+        return "pallas_batched" if cfg.ssm_cfg.version == 2 else "pallas"
     return k
 
 

@@ -258,6 +258,15 @@ class CaduceusBackbone(nn.Module):
         return h, embed_table
 
 
+def collapse_strand_mean(h: jnp.ndarray) -> jnp.ndarray:
+    """Reference-convention (…, L, 2d) RCPS hidden states → (…, L, d)
+    strand mean: forward half averaged with the rc-mapped reverse half
+    (`vep_embeddings.py:369-372`). Shared by the VEP dump and /embed
+    serving so the collapse convention cannot drift between them."""
+    d = h.shape[-1] // 2
+    return (h[..., :d] + jnp.flip(h[..., d:], axis=(-2, -1))) / 2
+
+
 def canonical_to_reference(hidden: jnp.ndarray) -> jnp.ndarray:
     """(2, B, L, d) canonical → (B, L, 2d) reference convention
     ``[h_fwd, flip_LC(h_rc_canonical)]`` (`modeling_rcps.py:64-67`)."""

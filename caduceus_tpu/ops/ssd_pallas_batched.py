@@ -265,7 +265,9 @@ def ssd_pallas_batched_fwd_impl(
 ):
     G, L, H, Pd = x.shape
     NG, N = B_mat.shape[-2], B_mat.shape[-1]
-    T = min(chunk_size, L)
+    # T must stay a multiple of 8: the stacked selector expansion's (T,·)
+    # slices otherwise pick up sublane offsets Mosaic rejects downstream
+    T = max(8, -(-min(chunk_size, L) // 8) * 8)
     nci = max(1, min(seg_chunks, -(-L // T)))
     Ts = T * nci
 
@@ -365,9 +367,9 @@ def ssd_pallas_batched_fused_fwd_impl(
     assert Wc == H * Pd + 2 * NG * N, (xBC.shape, dims)
     K = conv_w.shape[0]
     assert K - 1 <= _HIST_ROWS, f"conv width {K} exceeds the 8-row history"
-    T = min(chunk_size, L)
-    assert T >= _HIST_ROWS, (
-        f"fused-conv mode needs chunk_size >= {_HIST_ROWS} (got {T})")
+    # multiple of 8 (sublane alignment of the stacked-expansion slices)
+    # and >= the 8-row conv history blocks
+    T = max(_HIST_ROWS, -(-min(chunk_size, L) // 8) * 8)
     nci = max(1, min(seg_chunks, -(-L // T)))
     Ts = T * nci
 
@@ -468,7 +470,7 @@ def _bwd_kernel(
         (xBC_ref, dt_ref, cw_ref, cb_ref, hist_ref, A_ref, D_ref, bias_ref,
          gy_ref, car_ref, ghN_ref,
          gx_ref, gdt_ref, gA_ref, gbias_ref, gD_ref, gcw_ref, gcb_ref,
-         gh0_ref, lam_s, acc_s, cacc_s, pend_s) = refs
+         gh0_ref, lam_s, acc_s, cacc_s, *pend_list) = refs
     else:
         (x_ref, dt_ref, B_ref, C_ref, A_ref, D_ref, bias_ref, gy_ref,
          car_ref, ghN_ref,
@@ -489,8 +491,13 @@ def _bwd_kernel(
         lam_s[...] = ghN_ref[0]
         if fused:
             # conv-adjoint spillover from the not-yet-seen neighbor chunk;
-            # zero at each row's walk start (pad-region g_pre is exactly 0)
-            pend_s[...] = jnp.zeros_like(pend_s)
+            # zero at each row's walk start (pad-region g_pre is exactly 0).
+            # One scratch per column piece: a shared (8, Wc) scratch's
+            # per-piece lane slices can start at non-128-aligned offsets
+            # (e.g. N=16), and Mosaic rejects concatenating such a slice
+            # with an offset-0 operand.
+            for p_s in pend_list:
+                p_s[...] = jnp.zeros_like(p_s)
 
     keep, Mcum, McumT = _cum_masks(T, reverse)
     SEL = _sel(H, Pd)
@@ -652,22 +659,20 @@ def _bwd_kernel(
             for g in range(NG):
                 lo = H * Pd + NG * N + g * N
                 pieces.append((lo, N, gC_cols[g]))
-            for lo, width, g_piece in pieces:
+            for (lo, width, g_piece), p_s in zip(pieces, pend_list):
                 hi = lo + width
                 pre_p = pre[:, lo:hi]
                 sig_p = sig[:, lo:hi]
                 g_pre = g_piece * sig_p * (1.0 + pre_p * (1.0 - sig_p))
                 cw_p = cw_ref[:, lo:hi]
                 if reverse:
-                    gext = jnp.concatenate([pend_s[:, lo:hi], g_pre],
-                                           axis=0)
-                    pend_s[:, lo:hi] = g_pre[T - _HIST_ROWS:]
+                    gext = jnp.concatenate([p_s[...], g_pre], axis=0)
+                    p_s[...] = g_pre[T - _HIST_ROWS:]
                     g_raw = _conv_pre(gext, cw_p, None, T, reverse=False,
                                       base=_HIST_ROWS - (K - 1))
                 else:
-                    gext = jnp.concatenate([g_pre, pend_s[:, lo:hi]],
-                                           axis=0)
-                    pend_s[:, lo:hi] = g_pre[:_HIST_ROWS]
+                    gext = jnp.concatenate([g_pre, p_s[...]], axis=0)
+                    p_s[...] = g_pre[:_HIST_ROWS]
                     g_raw = _conv_pre(gext, cw_p, None, T, reverse=True,
                                       base=0)
                 gx_ref[0, o:o + T, lo:hi] = g_raw.astype(gx_ref.dtype)
@@ -879,8 +884,11 @@ def ssd_pallas_batched_fused_bwd_impl(
             pltpu.VMEM((N, H * Pd), jnp.float32),   # λ carry
             pltpu.VMEM((3, H), jnp.float32),        # [g_A; g_bias; g_D]
             pltpu.VMEM((K + 1, Wc), jnp.float32),   # [g_w rows; g_b]
-            pltpu.VMEM((_HIST_ROWS, Wc), jnp.float32),  # conv-adjoint pend
-        ],
+            # conv-adjoint pend, one per column piece (x, then B and C per
+            # group) — lane-offset-0 concat operands at any N
+            pltpu.VMEM((_HIST_ROWS, H * Pd), jnp.float32),
+        ] + [pltpu.VMEM((_HIST_ROWS, N), jnp.float32)
+             for _ in range(2 * NG)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,

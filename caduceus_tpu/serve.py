@@ -23,6 +23,14 @@ Design, shaped by the XLA compilation model rather than a GPU server:
 - **Pad-masked pooling.** /embed mean-pools only real positions; RCPS
   hidden states collapse to the strand-mean exactly as the VEP pipeline
   does (`vep.py dump_embeddings`, reference `vep_embeddings.py:369-372`).
+  Note the pads DO participate in the bidirectional scan itself (as they
+  do in training data, where N bases map to PAD), so per-position values
+  can differ slightly across bucket sizes; deployments needing
+  bit-stable embeddings for variable-length inputs should pin one bucket
+  (``min_bucket == max_length``).
+- **/generate** runs prompts through the parallel prefill at their exact
+  length (no bucketing — a causal prompt cannot be padded without
+  changing its state), so each distinct prompt length compiles once.
 
 Serving is intentionally dependency-free (stdlib ``http.server``); for a
 production fleet put a real LB in front of N single-chip server processes.
@@ -148,7 +156,8 @@ class InferenceService:
         import jax
         import jax.numpy as jnp
 
-        from caduceus_tpu.models.caduceus import Caduceus
+        from caduceus_tpu.models.caduceus import (
+            Caduceus, collapse_strand_mean)
 
         model = Caduceus(self.cfg)
         rcps = self.cfg.rcps
@@ -157,8 +166,7 @@ class InferenceService:
         def f(params, ids, mask):
             h = model.apply(params, ids)         # (B, L, 2d) if rcps
             if rcps:
-                d = h.shape[-1] // 2
-                h = (h[..., :d] + jnp.flip(h[..., d:], axis=(-2, -1))) / 2
+                h = collapse_strand_mean(h)      # VEP-pipeline convention
             m = mask[..., None].astype(h.dtype)
             return (h * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
 
@@ -197,10 +205,19 @@ class InferenceService:
                     else self._logits_fn())
             return self._fns[kind]
 
-    def warmup(self, buckets=None, batch_sizes=(1,)) -> int:
+    def warmup(self, buckets=None, batch_sizes=None) -> int:
         """Pre-compile the (endpoint, bucket, batch) programs so no live
-        request pays a TPU compile. Default: every power-of-two bucket in
-        [min_bucket, max_length]. Returns the number of programs built."""
+        request pays a TPU compile. Defaults: every power-of-two bucket in
+        [min_bucket, max_length] × every power-of-two batch size up to
+        ``max_batch`` (dispatches pad the batch dim to a power of two, so
+        these are exactly the live signatures). Returns the number of
+        programs built."""
+        if batch_sizes is None:
+            batch_sizes, b = [], 1
+            while b < self.max_batch:
+                batch_sizes.append(b)
+                b *= 2
+            batch_sizes.append(self.max_batch)  # the pow2 cap signature
         if self.task_cfg is not None:
             L = self.task_cfg["max_length"]
             n = 0
@@ -236,13 +253,18 @@ class InferenceService:
             if kind == "classify":
                 return self._run_classify(batch)
             bucket = batch[0].bucket
-            ids = np.full((len(batch), bucket), self.tok.pad_token_id,
-                          np.int32)
+            # pad the batch dim to the next power of two so the server
+            # compiles one program per (endpoint, bucket, pow2-batch)
+            # signature — a live 3-request coalesce must never trigger a
+            # fresh full-model compile
+            bs = _next_bucket(len(batch), 1, self.max_batch)
+            ids = np.full((bs, bucket), self.tok.pad_token_id, np.int32)
             lens = []
             for i, r in enumerate(batch):
                 seq = r.payload
                 ids[i, :len(seq)] = seq
                 lens.append(len(seq))
+            lens += [0] * (bs - len(batch))
             if kind == "embed":
                 mask = (np.arange(bucket)[None, :]
                         < np.asarray(lens)[:, None])
@@ -282,6 +304,11 @@ class InferenceService:
                 ids = np.stack([ids, rc], axis=-1)
             xs.append(ids)
             lens.append(min(len(seq) + int(tc["add_eos"]), L))
+        # pad the batch dim to a power of two (one program per signature)
+        bs = _next_bucket(len(batch), 1, self.max_batch)
+        while len(xs) < bs:
+            xs.append(np.full_like(xs[0], self.tok.pad_token_id))
+            lens.append(1)
         scores = np.asarray(jax.device_get(self._get_fn("classify")(
             self.params, np.stack(xs).astype(np.int32),
             np.asarray(lens, np.int32))), np.float32)
@@ -505,6 +532,10 @@ def _make_handler(server: InferenceServer):
                                   "dir (causal LM)"})
                     prompt = req.get("prompt", "")
                     ids = svc.tok.encode(prompt)
+                    if len(ids) > svc.max_length:
+                        return self._reply(
+                            400, {"error": f"prompt length {len(ids)} > "
+                                  f"max_length {svc.max_length}"})
                     out = server.submit("generate", {
                         "ids": ids,
                         "max_new_tokens": int(req.get("max_new_tokens", 64)),

@@ -112,8 +112,9 @@ def dump_embeddings(
     def forward(ids):
         h = model.apply(params, ids)  # (B, L, 2d) if rcps
         if cfg.rcps and rcps_collapse:
-            d = h.shape[-1] // 2
-            h = (h[..., :d] + jnp.flip(h[..., d:], axis=(-2, -1))) / 2
+            from caduceus_tpu.models.caduceus import collapse_strand_mean
+
+            h = collapse_strand_mean(h)
         return h
 
     @jax.jit

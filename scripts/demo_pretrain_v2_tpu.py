@@ -3,6 +3,9 @@ Mamba-2 (SSD) with the fused-conv head-batched Pallas kernels — through
 the full production path (native C++ loader, EMA, eval, checkpoint) +
 mid-run resume. Companion to scripts/demo_pretrain_tpu.py (v1, r2)."""
 import os, sys, json
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np, jax, jax.numpy as jnp
 
 from caduceus_tpu.utils.compile_cache import enable_compile_cache

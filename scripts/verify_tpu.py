@@ -320,6 +320,41 @@ def main():
                         "dt_bias"], g_fk, g_fo):
         _check(f"ssd-fused bwd grad {n}", a, b, 5e-3, failures)
 
+    # d_state=16 geometry: B/C column pieces land at non-128-aligned lane
+    # offsets (528, 544) — the layout class that broke the first fused
+    # adjoint on device (per-piece pend scratches fix); N=16 must stay
+    # gated or the like-for-like config ships untested.
+    N16 = 16
+    Wc16 = H2 * P2 + 2 * NG2 * N16
+    k16 = jax.random.split(jax.random.PRNGKey(5), 3)
+    xbc16 = jax.random.normal(k16[0], (G2, L2, Wc16))
+    cw16 = jax.random.normal(k16[1], (4, Wc16)) * 0.5
+    cb16 = jax.random.normal(k16[2], (Wc16,)) * 0.1
+    dims16 = (H2, P2, NG2, N16)
+
+    def ssd16_loss(fused):
+        def loss(args):
+            if fused:
+                y = ssd_pallas_batched_fused(
+                    args[0], args[1], args[2], args[3], conv_b=args[4],
+                    D=args[5], dt_bias=args[6], dims=dims16,
+                    dt_softplus=True, chunk_size=128, seg_chunks=8)
+            else:
+                y = ssd_chunked(
+                    args[0], args[1], args[2], None, None, D=args[5],
+                    dt_bias=args[6], dt_softplus=True, chunk_size=128,
+                    seg_chunks=8, conv_w=args[3], conv_b=args[4],
+                    dims=dims16)
+            return jnp.sum(jnp.square(y.astype(jnp.float32))) / y.size
+        return loss
+
+    a16 = (xbc16, dts, As, cw16, cb16, Ds, bs)
+    g16k = jax.jit(jax.grad(ssd16_loss(True)))(a16)
+    g16o = jax.jit(jax.grad(ssd16_loss(False)))(a16)
+    for n, a, b in zip(["xBC", "dt", "A", "conv_w", "conv_b", "D",
+                        "dt_bias"], g16k, g16o):
+        _check(f"ssd-fused-N16 bwd grad {n}", a, b, 5e-3, failures)
+
     # ---- flash attention (hybrid-MHA layers) vs the XLA oracle ----
     # bf16-class MXU rounding inside the kernel → looser tolerance.
     from caduceus_tpu.ops.attention import mha_attention

@@ -145,8 +145,25 @@ def test_one_request_many_sequences_single_dispatch(rcps_server):
 def test_warmup_precompiles_buckets(rcps_server):
     server, _, _ = rcps_server
     svc = server.service
+    # default batch sizes = pow2s up to max_batch (4 -> 1,2,4): these are
+    # exactly the live dispatch signatures (batches pad to pow2)
     n = svc.warmup(buckets=[16, 32])
-    assert n == 4  # embed+logits per bucket
+    assert n == 12  # 2 buckets x 3 batch sizes x (embed+logits)
+    n1 = svc.warmup(buckets=[16], batch_sizes=(1,))
+    assert n1 == 2
+
+
+def test_batch_padding_single_program(rcps_server):
+    """3 sequences in one request dispatch as a padded 4-row batch: the
+    program signature equals the warmed (bucket, pow2-batch) one and the
+    padding rows don't leak into results."""
+    server, cfg, params = rcps_server
+    out = _post(server.port, "/embed",
+                {"sequences": ["ACGTA", "ACGTAC", "ACG"]})["embed"]
+    assert len(out) == 3
+    solo = _post(server.port, "/embed", {"sequences": ["ACGTA"]})["embed"]
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(solo[0]),
+                               atol=1e-5)
 
 
 def test_errors_are_json(rcps_server):
