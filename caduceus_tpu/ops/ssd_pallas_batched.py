@@ -137,6 +137,14 @@ def _silu(p):
     return p * jax.nn.sigmoid(p)
 
 
+def _fused_aligned(H: int, Pd: int, NG: int, N: int) -> bool:
+    """True when every x|B|C column-piece boundary is 128-lane aligned —
+    the fused adjoint then runs as one full-width piece (the per-piece
+    form exists because Mosaic rejects concatenating lane slices whose
+    offsets are not 128-aligned, e.g. N=16)."""
+    return (H * Pd) % 128 == 0 and N % 128 == 0
+
+
 def _seg_hists(xp, Ts, K, reverse: bool):
     """(G, nseg, 8, Wc) segment-boundary conv history rows, gathered by
     XLA as strided slices (no sequential dependency): forward = the 8 rows
@@ -652,13 +660,20 @@ def _bwd_kernel(
             # pend_s carries an 8-row block of the neighbor chunk's g_pre
             # toward the chunk processed NEXT in this walk (across chunks
             # AND segment grid steps).
-            pieces = [(0, H * Pd, g_x)]
-            for g in range(NG):
-                lo = H * Pd + g * N
-                pieces.append((lo, N, gB_cols[g]))
-            for g in range(NG):
-                lo = H * Pd + NG * N + g * N
-                pieces.append((lo, N, gC_cols[g]))
+            if _fused_aligned(H, Pd, NG, N):
+                # every piece boundary is 128-lane aligned and every
+                # operand is offset-{0,0}: one full-width piece (single
+                # concat, single conv-transpose pass)
+                pieces = [(0, H * Pd + 2 * NG * N, jnp.concatenate(
+                    [g_x] + gB_cols + gC_cols, axis=1))]
+            else:
+                pieces = [(0, H * Pd, g_x)]
+                for g in range(NG):
+                    lo = H * Pd + g * N
+                    pieces.append((lo, N, gB_cols[g]))
+                for g in range(NG):
+                    lo = H * Pd + NG * N + g * N
+                    pieces.append((lo, N, gC_cols[g]))
             for (lo, width, g_piece), p_s in zip(pieces, pend_list):
                 hi = lo + width
                 pre_p = pre[:, lo:hi]
@@ -884,11 +899,15 @@ def ssd_pallas_batched_fused_bwd_impl(
             pltpu.VMEM((N, H * Pd), jnp.float32),   # λ carry
             pltpu.VMEM((3, H), jnp.float32),        # [g_A; g_bias; g_D]
             pltpu.VMEM((K + 1, Wc), jnp.float32),   # [g_w rows; g_b]
-            # conv-adjoint pend, one per column piece (x, then B and C per
-            # group) — lane-offset-0 concat operands at any N
-            pltpu.VMEM((_HIST_ROWS, H * Pd), jnp.float32),
-        ] + [pltpu.VMEM((_HIST_ROWS, N), jnp.float32)
-             for _ in range(2 * NG)],
+            # conv-adjoint pend: one full-width scratch when the piece
+            # boundaries are 128-lane aligned, else one per column piece
+            # (x, then B and C per group) so concat operands start at
+            # lane offset 0 at any N
+        ] + ([pltpu.VMEM((_HIST_ROWS, Wc), jnp.float32)]
+             if _fused_aligned(H, Pd, NG, N) else
+             [pltpu.VMEM((_HIST_ROWS, H * Pd), jnp.float32)]
+             + [pltpu.VMEM((_HIST_ROWS, N), jnp.float32)
+                for _ in range(2 * NG)]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -334,6 +334,41 @@ def test_fused_grads_match_oracle(reverse):
             err_msg=f"fused grad mismatch: {name} (reverse={reverse})")
 
 
+def test_fused_grads_aligned_geometry():
+    """128-aligned piece boundaries select the single full-width adjoint
+    piece (`_fused_aligned`); must match the oracle like the per-piece
+    branch does."""
+    from caduceus_tpu.ops.ssd_pallas_batched import (
+        _fused_aligned, ssd_pallas_batched_fused)
+
+    xBC, dt, A, cw, cb, D, bias, dims = make_fused_inputs(
+        H=2, P=64, NG=1, N=128, L=96)
+    assert _fused_aligned(*dims)
+    gy = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (xBC.shape[0], xBC.shape[1], dims[0], dims[1])), jnp.float32)
+
+    def f_ref(*args):
+        return jnp.sum(ssd_chunked(
+            args[0], args[1], args[2], None, None, D=args[5],
+            dt_bias=args[6], dt_softplus=True, chunk_size=16,
+            conv_w=args[3], conv_b=args[4], dims=dims, seg_chunks=2) * gy)
+
+    def f_pal(*args):
+        return jnp.sum(ssd_pallas_batched_fused(
+            args[0], args[1], args[2], args[3], conv_b=args[4], D=args[5],
+            dt_bias=args[6], dims=dims, dt_softplus=True, chunk_size=16,
+            interpret=True, seg_chunks=2) * gy)
+
+    args = (xBC, dt, A, cw, cb, D, bias)
+    g_ref = jax.grad(f_ref, argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(f_pal, argnums=tuple(range(7)))(*args)
+    for name, a, b in zip("xBC dt A cw cb D bias".split(), g_pal, g_ref):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s, atol=2e-5,
+            err_msg=f"aligned fused grad mismatch: {name}")
+
+
 def test_fused_chained_state():
     """Chained fused segments: h_init threads exactly (the conv history at
     the chain boundary comes from each segment's own xBC, matching the
