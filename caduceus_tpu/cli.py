@@ -439,22 +439,18 @@ def cmd_generate(argv):
 
     from caduceus_tpu.config import CaduceusConfig
     from caduceus_tpu.inference import generate
-    from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
     from caduceus_tpu.tokenization import CaduceusTokenizer
-    from caduceus_tpu.train.trainer import Trainer, TrainerConfig
+    from caduceus_tpu.train.checkpoint import load_run_params
 
     cfg = CaduceusConfig.load(os.path.join(args.run_dir, "model_config.json"))
     tok = CaduceusTokenizer()
-    model = CaduceusForMaskedLM(cfg)
     prompt_ids = jnp.asarray(tok.encode(args.prompt), jnp.int32)[None]
 
-    trainer = Trainer(model, TrainerConfig(run_dir=args.run_dir), None, None)
-    trainer.init_state({"input_ids": np.asarray(prompt_ids),
-                        "targets": np.asarray(prompt_ids)})
-    assert trainer.restore_checkpoint(), f"no checkpoint in {args.run_dir}"
+    # params-only restore (no optimizer/EMA template needed)
+    params, _ = load_run_params(args.run_dir)
 
     out = generate(
-        trainer.state.params, cfg, prompt_ids, args.max_new_tokens,
+        params, cfg, prompt_ids, args.max_new_tokens,
         rng=jax.random.PRNGKey(args.seed),
         temperature=args.temperature, top_k=args.top_k,
     )

@@ -115,16 +115,14 @@ class InferenceService:
         if os.path.exists(task_path):
             return cls._from_finetuned(run_dir, task_path, **kw)
         from caduceus_tpu.config import CaduceusConfig
-        from caduceus_tpu.models.caduceus import CaduceusForMaskedLM
-        from caduceus_tpu.train.trainer import Trainer, TrainerConfig
+        from caduceus_tpu.train.checkpoint import load_run_params
 
         cfg = CaduceusConfig.load(os.path.join(run_dir, "model_config.json"))
-        model = CaduceusForMaskedLM(cfg)
-        trainer = Trainer(model, TrainerConfig(run_dir=run_dir), None, None)
-        seed = np.full((1, 32), 4, np.int32)
-        trainer.init_state({"input_ids": seed, "targets": seed})
-        assert trainer.restore_checkpoint(), f"no checkpoint in {run_dir}"
-        return cls(cfg, trainer.state.params, **kw)
+        # params-only restore: no TrainState template, so runs trained
+        # with ANY optimizer/EMA configuration serve directly (EMA
+        # weights preferred when present — the eval-swap protocol)
+        params, _ = load_run_params(run_dir)
+        return cls(cfg, params, **kw)
 
     @classmethod
     def _from_finetuned(cls, run_dir: str, task_path: str,

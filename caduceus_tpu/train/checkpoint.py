@@ -69,10 +69,27 @@ def restore_checkpoint(path: str, state_template) -> Tuple[Any, Optional[dict]]:
     step = mgr.latest_step()
     assert step is not None, f"no checkpoint under {path}"
     template = _state_dict(state_template)
-    restored = mgr.restore(
-        step,
-        args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
-    )["state"]
+
+    def _restore(tpl):
+        return mgr.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(tpl)),
+        )["state"]
+
+    try:
+        restored = _restore(template)
+    except ValueError:
+        # EMA-presence mismatch: the run and the caller's template may
+        # disagree about ema_params (e.g. `eval`/`serve` restoring an
+        # EMA-enabled run with a default TrainerConfig, or resuming a
+        # non-EMA run with EMA newly enabled). Retry with the toggled
+        # template instead of forcing callers to reconstruct the run's
+        # exact training configuration.
+        if "ema_params" in template:
+            alt = {k: v for k, v in template.items() if k != "ema_params"}
+        else:
+            alt = dict(template, ema_params=template["params"])
+        restored = _restore(alt)
     mgr.close()
     loader_state = None
     lpath = os.path.join(path, f"loader_state_{step}.json")
@@ -83,6 +100,28 @@ def restore_checkpoint(path: str, state_template) -> Tuple[Any, Optional[dict]]:
         restored["params"], restored["opt_state"], restored["step"],
         restored.get("ema_params"),
     ), loader_state
+
+
+def load_run_params(run_dir: str, prefer_ema: bool = True):
+    """Parameters-only restore from a training run's latest checkpoint,
+    WITHOUT a TrainState template — deployment loaders (serve, generate)
+    must not need to reconstruct the run's optimizer/EMA configuration
+    just to read weights. Returns (params, step). ``prefer_ema`` serves
+    the EMA weights when the run kept them (the reference's eval-swap
+    protocol)."""
+    path = os.path.join(run_dir, "checkpoints")
+    step = latest_step(path)
+    assert step is not None, f"no checkpoint in {run_dir}"
+    mgr = _manager(path)
+    raw = mgr.restore(step)  # raw pytree, no template
+    mgr.close()
+    state = raw.get("state", raw)
+    params = None
+    if prefer_ema:
+        params = state.get("ema_params")
+    if params is None:
+        params = state["params"]
+    return params, step
 
 
 def save_params(path: str, params) -> None:

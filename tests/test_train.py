@@ -170,6 +170,52 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_ema_presence_mismatch(tmp_path):
+    """r4 regression: an EMA-enabled run must restore into a no-EMA
+    template (eval/serve default TrainerConfig) and vice versa, and
+    load_run_params must read weights without any template at all
+    (preferring EMA weights — the eval-swap protocol)."""
+    from caduceus_tpu.train.checkpoint import (
+        load_run_params, restore_checkpoint, save_checkpoint)
+
+    model, cfg = tiny_model()
+    batch_ids = np.zeros((1, 8), np.int32)
+    params = model.init(jax.random.PRNGKey(0), batch_ids)
+    ema = jax.tree_util.tree_map(lambda p: p + 1.0, params)
+    tx, _ = make_optimizer(lr=1e-3, warmup_t=0, t_initial=10)
+    run_dir = str(tmp_path / "run")
+    path = run_dir + "/checkpoints"
+
+    # EMA run -> no-EMA template
+    state = TrainState(params, tx.init(params), jnp.asarray(3, jnp.int32),
+                       ema_params=ema)
+    save_checkpoint(path, state)
+    no_ema = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    restored, _ = restore_checkpoint(
+        path, jax.tree_util.tree_map(jnp.zeros_like, no_ema))
+    assert int(jax.device_get(restored.step)) == 3
+
+    # params-only loader prefers EMA weights
+    p_ema, step = load_run_params(run_dir)
+    assert step == 3
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(p_ema)[0]),
+        np.asarray(jax.tree_util.tree_leaves(ema)[0]))
+    p_raw, _ = load_run_params(run_dir, prefer_ema=False)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(p_raw)[0]),
+        np.asarray(jax.tree_util.tree_leaves(params)[0]))
+
+    # no-EMA run -> EMA template
+    run2 = str(tmp_path / "run2") + "/checkpoints"
+    save_checkpoint(run2, no_ema)
+    with_ema = TrainState(params, tx.init(params),
+                          jnp.zeros((), jnp.int32), ema_params=ema)
+    restored2, _ = restore_checkpoint(
+        run2, jax.tree_util.tree_map(jnp.zeros_like, with_ema))
+    assert restored2.ema_params is None
+
+
 def test_load_backbone_graft():
     from caduceus_tpu.train.checkpoint import load_backbone
 
