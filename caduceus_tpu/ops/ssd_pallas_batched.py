@@ -582,6 +582,7 @@ def _bwd_kernel(
             Ch_cols.append(Ch)
 
             LG_sum = jnp.zeros((T, T), jnp.float32)
+            lgcb_cols = []
             for r_i in range(rep):
                 h = g * rep + r_i
                 gyh = gy[:, h * Pd:(h + 1) * Pd]
@@ -591,11 +592,19 @@ def _bwd_kernel(
                 G_ts = _mm(gyh, dxh, mm_dtype, _CONTRACT_1)   # (T, T)
                 LG = Lm * G_ts
                 LG_sum = LG_sum + LG
-                LGCB = LG * CB
-                row_r = _mm(LGCB, ones, jnp.float32)               # (T, 1)
-                col_c = _mm(LGCB, ones, jnp.float32, _CONTRACT_0)  # (T, 1)
-                rowcol_cols.append(row_r - col_c)
+                lgcb_cols.append(LG * CB)
                 gdx_cols.append(_mm(CB * Lm, gyh, mm_dtype, _CONTRACT_0))
+            # row/col reductions of every head's LGCB in TWO matmuls
+            # instead of 2·rep: rows via the (rep·T, T) sublane stack,
+            # cols via the (T, rep·T) lane stack with a dim-0 contraction
+            # (operands are all offset-0, T is a multiple of 8)
+            lgcb_tall = jnp.concatenate(lgcb_cols, axis=0)   # (rep·T, T)
+            lgcb_wide = jnp.concatenate(lgcb_cols, axis=1)   # (T, rep·T)
+            row_all = _mm(lgcb_tall, ones, jnp.float32)          # (rep·T, 1)
+            col_all = _mm(lgcb_wide, ones, jnp.float32, _CONTRACT_0)
+            for r_i in range(rep):
+                rowcol_cols.append(row_all[r_i * T:(r_i + 1) * T]
+                                   - col_all[r_i * T:(r_i + 1) * T])
 
             # group-batched terms
             S = _mm(Bg, wdx[:, lo:hi], mm_dtype, _CONTRACT_0)  # (N, rep·P)
