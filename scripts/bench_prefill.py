@@ -8,7 +8,9 @@ equivalent (VERDICT r2 #5). Prints one JSON line per mode.
 
 Run:  python scripts/bench_prefill.py
 Env:  BENCH_PREFILL_LP (8192), BENCH_PREFILL_NLAYER (16),
-      BENCH_PREFILL_DMODEL (256), BENCH_PREFILL_STEPS (3)
+      BENCH_PREFILL_DMODEL (256), BENCH_PREFILL_STEPS (3),
+      BENCH_PREFILL_VERSION (1; 2 = SSD family, head-batched chained
+      kernels)
 """
 
 import json
@@ -38,10 +40,14 @@ def main():
     d_model = int(os.environ.get("BENCH_PREFILL_DMODEL", 256))
     steps = int(os.environ.get("BENCH_PREFILL_STEPS", 3))
 
+    version = int(os.environ.get("BENCH_PREFILL_VERSION", 1))
     tok = CaduceusTokenizer()
+    ssm = (SSMConfig(version=2, d_state=128, headdim=64, ngroups=1,
+                     ssd_chunk_size=128, ssd_seg_chunks=8)
+           if version == 2 else SSMConfig())
     cfg = CaduceusConfig(
         d_model=d_model, n_layer=n_layer, vocab_size=tok.vocab_size,
-        ssm_cfg=SSMConfig(),
+        ssm_cfg=ssm,
         rcps=False, bidirectional=False, complement_map=tok.complement_map,
         dtype="bfloat16",
     )
