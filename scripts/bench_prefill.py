@@ -73,7 +73,9 @@ def main():
             "metric": f"prefill_prompt_tokens_per_sec_{mode}",
             "value": round(Lp / dt, 1),
             "unit": (f"prompt tokens/s (Lp={Lp}, d_model={d_model}, "
-                     f"n_layer={n_layer}, causal mamba, bf16)"),
+                     f"n_layer={n_layer}, causal "
+                     f"{'mamba2/ssd' if version == 2 else 'mamba'}, "
+                     f"bf16)"),
         }))
     print(json.dumps({
         "metric": "prefill_parallel_speedup",
