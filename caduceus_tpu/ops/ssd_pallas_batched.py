@@ -150,15 +150,18 @@ def _seg_hists(xp, Ts, K, reverse: bool):
     XLA as strided slices (no sequential dependency): forward = the 8 rows
     before each segment (last K-1 meaningful; zeros for the first),
     reverse = the 8 rows after (first K-1 meaningful; zeros for the
-    last)."""
+    last). Reads only the 8 needed rows per segment — no full-length
+    padded copy of xp."""
     G, Lp, Wc = xp.shape
     HB = _HIST_ROWS
     nseg = Lp // Ts
+    seg = xp.reshape(G, nseg, Ts, Wc)
+    zero = jnp.zeros((G, 1, HB, Wc), xp.dtype)
     if reverse:
-        arr = jnp.pad(xp, ((0, 0), (0, Ts), (0, 0)))[:, Ts:Ts + Lp]
-    else:
-        arr = jnp.pad(xp, ((0, 0), (HB, 0), (0, 0)))[:, :Lp]
-    return arr.reshape(G, nseg, Ts, Wc)[:, :, :HB]
+        # hist[s] = first 8 rows of segment s+1 (zeros past the end)
+        return jnp.concatenate([seg[:, 1:, :HB], zero], axis=1)
+    # hist[s] = last 8 rows of segment s-1 (zeros before the start)
+    return jnp.concatenate([zero, seg[:, :-1, Ts - HB:]], axis=1)
 
 
 def _fwd_kernel(

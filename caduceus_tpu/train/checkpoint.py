@@ -76,29 +76,45 @@ def restore_checkpoint(path: str, state_template) -> Tuple[Any, Optional[dict]]:
             args=ocp.args.Composite(state=ocp.args.StandardRestore(tpl)),
         )["state"]
 
+    want_ema = "ema_params" in template
     try:
         restored = _restore(template)
-    except ValueError:
+    except ValueError as first_err:
         # EMA-presence mismatch: the run and the caller's template may
         # disagree about ema_params (e.g. `eval`/`serve` restoring an
         # EMA-enabled run with a default TrainerConfig, or resuming a
         # non-EMA run with EMA newly enabled). Retry with the toggled
-        # template instead of forcing callers to reconstruct the run's
-        # exact training configuration.
-        if "ema_params" in template:
+        # template; if THAT also fails, the mismatch was something else
+        # (wrong architecture, corrupt checkpoint) — surface the
+        # original error, not a misleading ema-flavored one.
+        if want_ema:
             alt = {k: v for k, v in template.items() if k != "ema_params"}
         else:
             alt = dict(template, ema_params=template["params"])
-        restored = _restore(alt)
+        try:
+            restored = _restore(alt)
+        except ValueError:
+            raise first_err
     mgr.close()
     loader_state = None
     lpath = os.path.join(path, f"loader_state_{step}.json")
     if os.path.exists(lpath):
         with open(lpath) as f:
             loader_state = json.load(f)
+    # EMA presence in the returned state follows the CALLER's template,
+    # not the checkpoint: a run resumed with EMA newly enabled seeds the
+    # EMA from the restored params (tree_map in the train step needs a
+    # real tree), and a run resumed with EMA disabled drops the stale
+    # checkpoint EMA (it would never update, yet eval would report
+    # frozen '/ema' metrics from it).
+    ema = None
+    if want_ema:
+        ema = restored.get("ema_params")
+        if ema is None:
+            ema = restored["params"]
     return TrainState(
         restored["params"], restored["opt_state"], restored["step"],
-        restored.get("ema_params"),
+        ema,
     ), loader_state
 
 

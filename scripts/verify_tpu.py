@@ -297,25 +297,25 @@ def main():
         _check(f"ssd-fused fwd kernel reverse={reverse}", y_k, y_o, 2e-3,
                failures)
 
-    def ssd_f_loss(fused):
+    def ssd_fused_loss(fused, dims_):
         def loss(args):
             if fused:
                 y = ssd_pallas_batched_fused(
                     args[0], args[1], args[2], args[3], conv_b=args[4],
-                    D=args[5], dt_bias=args[6], dims=dims2,
+                    D=args[5], dt_bias=args[6], dims=dims_,
                     dt_softplus=True, chunk_size=128, seg_chunks=8)
             else:
                 y = ssd_chunked(
                     args[0], args[1], args[2], None, None, D=args[5],
                     dt_bias=args[6], dt_softplus=True, chunk_size=128,
                     seg_chunks=8, conv_w=args[3], conv_b=args[4],
-                    dims=dims2)
+                    dims=dims_)
             return jnp.sum(jnp.square(y.astype(jnp.float32))) / y.size
         return loss
 
     fused_args = (xbc, dts, As, cw, cb, Ds, bs)
-    g_fk = jax.jit(jax.grad(ssd_f_loss(True)))(fused_args)
-    g_fo = jax.jit(jax.grad(ssd_f_loss(False)))(fused_args)
+    g_fk = jax.jit(jax.grad(ssd_fused_loss(True, dims2)))(fused_args)
+    g_fo = jax.jit(jax.grad(ssd_fused_loss(False, dims2)))(fused_args)
     for n, a, b in zip(["xBC", "dt", "A", "conv_w", "conv_b", "D",
                         "dt_bias"], g_fk, g_fo):
         _check(f"ssd-fused bwd grad {n}", a, b, 5e-3, failures)
@@ -332,25 +332,9 @@ def main():
     cb16 = jax.random.normal(k16[2], (Wc16,)) * 0.1
     dims16 = (H2, P2, NG2, N16)
 
-    def ssd16_loss(fused):
-        def loss(args):
-            if fused:
-                y = ssd_pallas_batched_fused(
-                    args[0], args[1], args[2], args[3], conv_b=args[4],
-                    D=args[5], dt_bias=args[6], dims=dims16,
-                    dt_softplus=True, chunk_size=128, seg_chunks=8)
-            else:
-                y = ssd_chunked(
-                    args[0], args[1], args[2], None, None, D=args[5],
-                    dt_bias=args[6], dt_softplus=True, chunk_size=128,
-                    seg_chunks=8, conv_w=args[3], conv_b=args[4],
-                    dims=dims16)
-            return jnp.sum(jnp.square(y.astype(jnp.float32))) / y.size
-        return loss
-
     a16 = (xbc16, dts, As, cw16, cb16, Ds, bs)
-    g16k = jax.jit(jax.grad(ssd16_loss(True)))(a16)
-    g16o = jax.jit(jax.grad(ssd16_loss(False)))(a16)
+    g16k = jax.jit(jax.grad(ssd_fused_loss(True, dims16)))(a16)
+    g16o = jax.jit(jax.grad(ssd_fused_loss(False, dims16)))(a16)
     for n, a, b in zip(["xBC", "dt", "A", "conv_w", "conv_b", "D",
                         "dt_bias"], g16k, g16o):
         _check(f"ssd-fused-N16 bwd grad {n}", a, b, 5e-3, failures)

@@ -18,10 +18,10 @@ from caduceus_tpu.train.optim import (
 from caduceus_tpu.train.trainer import TrainState, make_train_step, make_eval_step
 
 
-def tiny_model():
+def tiny_model(d_model=16):
     tok = CaduceusTokenizer()
     cfg = CaduceusConfig(
-        d_model=16,
+        d_model=d_model,
         n_layer=2,
         vocab_size=tok.vocab_size,
         ssm_cfg=SSMConfig(d_state=4),
@@ -186,7 +186,8 @@ def test_checkpoint_ema_presence_mismatch(tmp_path):
     run_dir = str(tmp_path / "run")
     path = run_dir + "/checkpoints"
 
-    # EMA run -> no-EMA template
+    # EMA run -> no-EMA template: stale EMA weights are DROPPED (they
+    # would never update but eval would keep reporting them)
     state = TrainState(params, tx.init(params), jnp.asarray(3, jnp.int32),
                        ema_params=ema)
     save_checkpoint(path, state)
@@ -194,6 +195,7 @@ def test_checkpoint_ema_presence_mismatch(tmp_path):
     restored, _ = restore_checkpoint(
         path, jax.tree_util.tree_map(jnp.zeros_like, no_ema))
     assert int(jax.device_get(restored.step)) == 3
+    assert restored.ema_params is None
 
     # params-only loader prefers EMA weights
     p_ema, step = load_run_params(run_dir)
@@ -206,14 +208,30 @@ def test_checkpoint_ema_presence_mismatch(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(p_raw)[0]),
         np.asarray(jax.tree_util.tree_leaves(params)[0]))
 
-    # no-EMA run -> EMA template
+    # no-EMA run -> EMA template: EMA is SEEDED from the restored params
+    # so the first train step's tree_map has a real tree to update
     run2 = str(tmp_path / "run2") + "/checkpoints"
     save_checkpoint(run2, no_ema)
     with_ema = TrainState(params, tx.init(params),
                           jnp.zeros((), jnp.int32), ema_params=ema)
     restored2, _ = restore_checkpoint(
         run2, jax.tree_util.tree_map(jnp.zeros_like, with_ema))
-    assert restored2.ema_params is None
+    assert restored2.ema_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored2.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(restored2.params)[0]))
+
+    # architecture mismatch must surface the ORIGINAL error, not an
+    # ema-flavored one from the toggled-template retry
+    import pytest as _pytest
+
+    model2, _ = tiny_model(d_model=24)
+    params2 = model2.init(jax.random.PRNGKey(0), batch_ids)
+    tx2, _ = make_optimizer(lr=1e-3, warmup_t=0, t_initial=10)
+    bad = TrainState(params2, tx2.init(params2), jnp.zeros((), jnp.int32))
+    with _pytest.raises(ValueError):
+        restore_checkpoint(
+            run2, jax.tree_util.tree_map(jnp.zeros_like, bad))
 
 
 def test_load_backbone_graft():
