@@ -34,10 +34,12 @@ shard boundary state is (H, N, P) with an analytic per-head decay);
 ngroups=1 so B/C replicate). Both sharded paths honor ``use_kernel``:
 "pallas" runs the per-shard local scans through `ops/ssd_pallas.py`
 (whose chained VJP implements the h_init/g_hN boundary contract CP needs).
-In both cases the depthwise conv + split run as global ops on the sharded
-activations (XLA inserts halos), i.e. the fused-conv working-set trick is
-single-chip-only. Setting both axes at once on a version=2 config is
-rejected at construction.
+With ``use_kernel='pallas_batched'`` (the TPU default) and CP alone, the
+fused-conv kernels run per shard with the conv halo exchanged as one
+ppermute of 8 boundary raw rows (`parallel/seq_scan.py
+sequence_parallel_ssd_fused`), so >131k CP contexts keep the fused memory
+profile; under CP+TP or the other kernels the depthwise conv + split run
+as global ops on the sharded activations (XLA inserts halos).
 
 ``use_kernel='auto'`` resolves to the Pallas kernels on TPU; they are
 gated on-device by `scripts/verify_tpu.py` (Mosaic-compiled fwd/bwd/chained
@@ -243,6 +245,28 @@ class _DirectionParamsV2(nn.Module):
             "tensor/context_parallel_axis is set but no mesh is registered — "
             "call caduceus_tpu.parallel.mesh.set_global_mesh (or with_mesh)"
         )
+        kernel = self._resolved_kernel()
+        if (kernel.startswith("pallas_batched")
+                and c.context_parallel_axis and not c.tensor_parallel_axis):
+            # fused-conv CP: conv + SiLU + split stay inside the per-shard
+            # kernels; the halo is ONE ppermute of 8 boundary raw rows
+            # (`parallel/seq_scan.py sequence_parallel_ssd_fused`), so
+            # >131k CP contexts keep the fused memory profile — the
+            # post-conv (L, d_inner + 2·NG·N) tensor never exists in HBM.
+            # (TP composition still takes the unfused path below: the
+            # fused kernel owns the full xBC lane width.)
+            from caduceus_tpu.parallel.seq_scan import (
+                sequence_parallel_ssd_fused)
+
+            y = sequence_parallel_ssd_fused(
+                x3, dt3, -jnp.exp(self.A_log), self.conv_w,
+                conv_b=self.conv_b, D=self.D, dt_bias=self.dt_bias,
+                dims=(H, P, NG, N), dt_softplus=True, reverse=reverse,
+                mesh=mesh, axis=c.context_parallel_axis,
+                chunk_size=s.ssd_chunk_size, seg_chunks=s.ssd_seg_chunks,
+                interpret=kernel.endswith("_interpret"),
+            )
+            return y.reshape(*lead, L, c.d_inner)
         xc = causal_conv1d(
             x3, self.conv_w.astype(x3.dtype),
             None if self.conv_b is None else self.conv_b.astype(x3.dtype),
@@ -252,7 +276,6 @@ class _DirectionParamsV2(nn.Module):
         Bm = xc[..., H * P: H * P + NG * N].reshape(G, L, NG, N)
         Cm = xc[..., H * P + NG * N:].reshape(G, L, NG, N)
         A = -jnp.exp(self.A_log)
-        kernel = self._resolved_kernel()
 
         if c.context_parallel_axis:
             from caduceus_tpu.parallel.seq_scan import sequence_parallel_ssd

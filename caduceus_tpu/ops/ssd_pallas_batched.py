@@ -145,18 +145,24 @@ def _fused_aligned(H: int, Pd: int, NG: int, N: int) -> bool:
     return (H * Pd) % 128 == 0 and N % 128 == 0
 
 
-def _seg_hists(xp, Ts, K, reverse: bool):
+def _seg_hists(xp, Ts, K, reverse: bool, edge=None):
     """(G, nseg, 8, Wc) segment-boundary conv history rows, gathered by
     XLA as strided slices (no sequential dependency): forward = the 8 rows
     before each segment (last K-1 meaningful; zeros for the first),
     reverse = the 8 rows after (first K-1 meaningful; zeros for the
     last). Reads only the 8 needed rows per segment — no full-length
-    padded copy of xp."""
+    padded copy of xp.
+
+    ``edge`` (G, 8, Wc), when given, replaces the zero block at the
+    sequence boundary — the context-parallel hook: a shard passes its
+    neighbor's boundary rows (ppermuted) so the in-kernel conv sees the
+    true cross-shard history instead of sequence-start zeros."""
     G, Lp, Wc = xp.shape
     HB = _HIST_ROWS
     nseg = Lp // Ts
     seg = xp.reshape(G, nseg, Ts, Wc)
-    zero = jnp.zeros((G, 1, HB, Wc), xp.dtype)
+    zero = (jnp.zeros((G, 1, HB, Wc), xp.dtype) if edge is None
+            else edge.astype(xp.dtype)[:, None])
     if reverse:
         # hist[s] = first 8 rows of segment s+1 (zeros past the end)
         return jnp.concatenate([seg[:, 1:, :HB], zero], axis=1)
@@ -367,6 +373,7 @@ def ssd_pallas_batched_fused_fwd_impl(
     save_carries: bool = False,
     h_init=None,
     seg_chunks: int = 8,
+    edge_hist=None,       # (G, 8, Wc) — CP: neighbor shard's boundary rows
 ):
     """Fused-conv forward: ``xBC`` is the PRE-conv (G, L, H·P + 2·NG·N)
     tensor; the depthwise conv + SiLU + x/B/C split run inside the kernel
@@ -386,11 +393,16 @@ def ssd_pallas_batched_fused_fwd_impl(
 
     tensors = [xBC, dt]
     if L % Ts != 0:
+        # padded tail rows would sit between the real data and a CP
+        # neighbor's edge rows (the reverse conv would read padding as
+        # history) — CP callers must pass segment-aligned local lengths
+        assert edge_hist is None, (
+            f"edge_hist requires L % (chunk·seg) == 0, got L={L}, Ts={Ts}")
         tensors = _pad_ssd(tensors, Ts - L % Ts, dt_softplus, dt_bias, H)
     xp, dt_p = tensors
     Lp = xp.shape[1]
     nseg = Lp // Ts
-    hists = _seg_hists(xp, Ts, K, reverse)        # (G, nseg, K-1, Wc)
+    hists = _seg_hists(xp, Ts, K, reverse, edge_hist)  # (G, nseg, 8, Wc)
 
     cw_in = jnp.asarray(conv_w, jnp.float32)
     cb_in = (jnp.zeros((1, Wc), jnp.float32) if conv_b is None
@@ -475,9 +487,15 @@ def _bwd_kernel(
     *refs,
     T: int, nci: int, H: int, Pd: int, NG: int, N: int,
     reverse: bool, dt_softplus: bool, mm_dtype,
-    fused: bool = False, K: int = 0,
+    fused: bool = False, K: int = 0, emit_pend: bool = False,
 ):
-    if fused:
+    gph_ref = None
+    if fused and emit_pend:
+        (xBC_ref, dt_ref, cw_ref, cb_ref, hist_ref, A_ref, D_ref, bias_ref,
+         gy_ref, car_ref, ghN_ref,
+         gx_ref, gdt_ref, gA_ref, gbias_ref, gD_ref, gcw_ref, gcb_ref,
+         gh0_ref, gph_ref, lam_s, acc_s, cacc_s, *pend_list) = refs
+    elif fused:
         (xBC_ref, dt_ref, cw_ref, cb_ref, hist_ref, A_ref, D_ref, bias_ref,
          gy_ref, car_ref, ghN_ref,
          gx_ref, gdt_ref, gA_ref, gbias_ref, gD_ref, gcw_ref, gcb_ref,
@@ -509,6 +527,19 @@ def _bwd_kernel(
             # with an offset-0 operand.
             for p_s in pend_list:
                 p_s[...] = jnp.zeros_like(p_s)
+
+    if fused:
+        # static per-piece lane bounds of the conv adjoint (x | B | C);
+        # one full-width piece when every boundary is 128-lane aligned
+        # (see the piece construction below)
+        if _fused_aligned(H, Pd, NG, N):
+            piece_bounds = [(0, H * Pd + 2 * NG * N)]
+        else:
+            piece_bounds = [(0, H * Pd)]
+            for g in range(NG):
+                piece_bounds.append((H * Pd + g * N, N))
+            for g in range(NG):
+                piece_bounds.append((H * Pd + NG * N + g * N, N))
 
     keep, Mcum, McumT = _cum_masks(T, reverse)
     SEL = _sel(H, Pd)
@@ -676,16 +707,12 @@ def _bwd_kernel(
                 # every piece boundary is 128-lane aligned and every
                 # operand is offset-{0,0}: one full-width piece (single
                 # concat, single conv-transpose pass)
-                pieces = [(0, H * Pd + 2 * NG * N, jnp.concatenate(
-                    [g_x] + gB_cols + gC_cols, axis=1))]
+                piece_data = [jnp.concatenate(
+                    [g_x] + gB_cols + gC_cols, axis=1)]
             else:
-                pieces = [(0, H * Pd, g_x)]
-                for g in range(NG):
-                    lo = H * Pd + g * N
-                    pieces.append((lo, N, gB_cols[g]))
-                for g in range(NG):
-                    lo = H * Pd + NG * N + g * N
-                    pieces.append((lo, N, gC_cols[g]))
+                piece_data = [g_x] + gB_cols + gC_cols
+            pieces = [(lo, w, d)
+                      for (lo, w), d in zip(piece_bounds, piece_data)]
             for (lo, width, g_piece), p_s in zip(pieces, pend_list):
                 hi = lo + width
                 pre_p = pre[:, lo:hi]
@@ -727,6 +754,15 @@ def _bwd_kernel(
     if fused:
         gcw_ref[...] = cacc_s[:K]
         gcb_ref[...] = cacc_s[K:K + 1]
+        if emit_pend:
+            # the pend scratch after the LAST grid step (the bwd walk's
+            # sequence edge — segment 0 forward, last segment reverse)
+            # is the conv-adjoint spillover aimed at the rows BEFORE/
+            # AFTER this sequence: the edge_hist gradient a CP neighbor
+            # needs. gph_ref's index map pins one block per g, so every
+            # grid step overwrites and the final (edge) write survives.
+            for (lo, width), p_s in zip(piece_bounds, pend_list):
+                gph_ref[0, :, lo:lo + width] = p_s[...]
 
 
 def ssd_pallas_batched_bwd_impl(
@@ -835,8 +871,10 @@ def ssd_pallas_batched_fused_bwd_impl(
     nci: int,
     interpret: bool = False,
     g_hN=None,  # (G, H, N, P)
+    edge_hist=None,          # (G, 8, Wc) — CP neighbor boundary rows
+    need_edge_grad: bool = False,
 ):
-    """Returns (g_xBC, g_dt, g_A, g_cw, g_cb, g_D, g_bias, g_h0)."""
+    """Returns (g_xBC, g_dt, g_A, g_cw, g_cb, g_D, g_bias, g_h0[, g_edge])."""
     H, Pd, NG, N = dims
     G, L, Wc = xBC.shape
     K = conv_w.shape[0]
@@ -848,9 +886,10 @@ def ssd_pallas_batched_fused_bwd_impl(
     gy3 = g_y.reshape(G, L, H * Pd)
     tensors = [xBC, dt, gy3]
     if L % Ts != 0:
+        assert edge_hist is None and not need_edge_grad
         tensors = _pad_ssd(tensors, Lp - L, dt_softplus, dt_bias, H)
     xp, dt_p, gy_p = tensors
-    hists = _seg_hists(xp, Ts, K, reverse)
+    hists = _seg_hists(xp, Ts, K, reverse, edge_hist)
 
     cw_in = jnp.asarray(conv_w, jnp.float32)
     cb_in = (jnp.zeros((1, Wc), jnp.float32) if conv_b is None
@@ -889,24 +928,33 @@ def ssd_pallas_batched_fused_bwd_impl(
     kernel = functools.partial(
         _bwd_kernel, T=T, nci=nci, H=H, Pd=Pd, NG=NG, N=N, reverse=reverse,
         dt_softplus=dt_softplus, mm_dtype=xBC.dtype, fused=True, K=K,
+        emit_pend=need_edge_grad,
     )
+    out_specs = [xbc_spec, dt_spec, h_spec, h_spec, h_spec,
+                 cw_spec, cb_spec, st_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((G, Lp, Wc), xBC.dtype),
+        jax.ShapeDtypeStruct((G, Lp, H), dt.dtype),
+        jax.ShapeDtypeStruct((1, H), jnp.float32),
+        jax.ShapeDtypeStruct((1, H), jnp.float32),
+        jax.ShapeDtypeStruct((1, H), jnp.float32),
+        jax.ShapeDtypeStruct((K, Wc), jnp.float32),
+        jax.ShapeDtypeStruct((1, Wc), jnp.float32),
+        jax.ShapeDtypeStruct((G, N, H * Pd), jnp.float32),
+    ]
+    if need_edge_grad:
+        out_specs.append(pl.BlockSpec((1, _HIST_ROWS, Wc),
+                                      lambda g, i: (g, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((G, _HIST_ROWS, Wc), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=(G, nseg),
         in_specs=[xbc_spec, dt_spec, cw_spec, cb_spec, hist_spec,
                   h_spec, h_spec, h_spec, gy_spec, car_spec, st_spec],
-        out_specs=(xbc_spec, dt_spec, h_spec, h_spec, h_spec,
-                   cw_spec, cb_spec, st_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((G, Lp, Wc), xBC.dtype),
-            jax.ShapeDtypeStruct((G, Lp, H), dt.dtype),
-            jax.ShapeDtypeStruct((1, H), jnp.float32),
-            jax.ShapeDtypeStruct((1, H), jnp.float32),
-            jax.ShapeDtypeStruct((1, H), jnp.float32),
-            jax.ShapeDtypeStruct((K, Wc), jnp.float32),
-            jax.ShapeDtypeStruct((1, Wc), jnp.float32),
-            jax.ShapeDtypeStruct((G, N, H * Pd), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((N, H * Pd), jnp.float32),   # λ carry
             pltpu.VMEM((3, H), jnp.float32),        # [g_A; g_bias; g_D]
@@ -927,11 +975,14 @@ def ssd_pallas_batched_fused_bwd_impl(
         interpret=interpret,
     )(xp, dt_p, cw_in, cb_in, hists, A_in, D_in, bias_in, gy_p, carries,
       ghN_in)
-    g_xBC, g_dt, g_A, g_bias, g_D, g_cw, g_cb, g_h0 = outs
+    if need_edge_grad:
+        g_xBC, g_dt, g_A, g_bias, g_D, g_cw, g_cb, g_h0, g_pend = outs
+    else:
+        g_xBC, g_dt, g_A, g_bias, g_D, g_cw, g_cb, g_h0 = outs
     g_bias_v = g_bias[0]
     if Lp != L and not dt_softplus:
         g_bias_v = jnp.sum(g_dt[:, :L].astype(jnp.float32), axis=(0, 1))
-    return (
+    res = (
         g_xBC[:, :L],
         g_dt[:, :L],
         g_A[0].astype(jnp.asarray(A).dtype),
@@ -941,6 +992,33 @@ def ssd_pallas_batched_fused_bwd_impl(
         g_bias_v,
         g_h0.reshape(G, N, H, Pd).transpose(0, 2, 1, 3),
     )
+    if not need_edge_grad:
+        return res
+    # Convert the edge chunk's raw pre-activation spillover (g_pend = the
+    # first/last 8 g_pre rows of the sequence-edge chunk) into the
+    # gradient of the edge_hist rows via the depthwise conv transpose.
+    # Forward conv: pre[i] = Σ_k w[k]·ext[base+i+k] with the history
+    # occupying ext[base .. base+K-2] (base = 8-(K-1)), so
+    #   g_hist[base+j] = Σ_{k≤j} w[k]·g_pre[j-k]          (j = 0..K-2).
+    # Reverse (anti-causal): pre[i] = Σ_k w[k]·ext[i+K-1-k] with history
+    # rows ext[T .. T+K-2] and pend = g_pre[T-8:], giving
+    #   g_hist[j] = Σ_{k<K-1-j} w[k]·pend[8-(K-1)+j+k]    (j = 0..K-2).
+    HB = _HIST_ROWS
+    g_edge = jnp.zeros((G, HB, Wc), jnp.float32)
+    if reverse:
+        for j in range(K - 1):
+            acc = jnp.zeros((G, Wc), jnp.float32)
+            for k in range(K - 1 - j):
+                acc = acc + cw_in[k] * g_pend[:, HB - (K - 1) + j + k]
+            g_edge = g_edge.at[:, j].set(acc)
+    else:
+        base = HB - (K - 1)
+        for j in range(K - 1):
+            acc = jnp.zeros((G, Wc), jnp.float32)
+            for k in range(j + 1):
+                acc = acc + cw_in[k] * g_pend[:, j - k]
+            g_edge = g_edge.at[:, base + j].set(acc)
+    return res + (g_edge,)
 
 
 # ===========================================================================
@@ -1126,3 +1204,84 @@ def ssd_pallas_batched_fused(
     if return_final_state:
         return y, hN
     return y
+
+
+# ===========================================================================
+# Context-parallel fused-conv entry: edge_hist is a differentiable operand
+# ===========================================================================
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def ssd_pallas_batched_fused_cp(
+    xBC, dt, A, conv_w, conv_b, D, dt_bias, h_init, edge_hist,
+    dims=None,            # (H, P, NG, N) — required, static
+    dt_softplus: bool = True,
+    reverse: bool = False,
+    chunk_size: int = 128,
+    interpret: bool = False,
+    seg_chunks: int = 8,
+):
+    """Fused-conv chained scan for a CONTEXT-PARALLEL shard.
+
+    Identical to :func:`ssd_pallas_batched_fused_chained` except the
+    sequence-edge conv history comes from ``edge_hist`` (G, 8, Wc) — the
+    neighbor shard's boundary raw rows (rows BEFORE this shard for the
+    forward direction, so only the last K-1 rows are read; rows AFTER it
+    for reverse, first K-1 read) — instead of sequence-start zeros, and
+    ``edge_hist`` is differentiable: its gradient is the depthwise
+    conv-transpose spillover that the neighbor's raw rows receive from
+    this shard (`parallel/seq_scan.py sequence_parallel_ssd_fused`
+    ppermutes it back and jax's slice transpose adds it into the
+    neighbor's g_xBC tail). Returns (y, h_final). Requires the local
+    length to be a multiple of chunk_size·seg_chunks (no tail padding:
+    padded rows would otherwise sit between the data and the neighbor)."""
+    return ssd_pallas_batched_fused_fwd_impl(
+        xBC, dt, A, conv_w, conv_b, D, dt_bias, dims, dt_softplus, reverse,
+        chunk_size, interpret, save_carries=False, h_init=h_init,
+        seg_chunks=seg_chunks, edge_hist=edge_hist,
+    )
+
+
+def _fused_cp_fwd(xBC, dt, A, conv_w, conv_b, D, dt_bias, h_init, edge_hist,
+                  dims, dt_softplus, reverse, chunk_size, interpret,
+                  seg_chunks):
+    y, hN, carries, T, nci = ssd_pallas_batched_fused_fwd_impl(
+        xBC, dt, A, conv_w, conv_b, D, dt_bias, dims, dt_softplus, reverse,
+        chunk_size, interpret, save_carries=True, h_init=h_init,
+        seg_chunks=seg_chunks, edge_hist=edge_hist,
+    )
+    return (y, hN), (xBC, dt, A, conv_w, conv_b, D, dt_bias, edge_hist,
+                     carries, T, nci)
+
+
+def _fused_cp_bwd(dims, dt_softplus, reverse, chunk_size, interpret,
+                  seg_chunks, residuals, g):
+    (xBC, dt, A, conv_w, conv_b, D, dt_bias, edge_hist, carries, T,
+     nci) = residuals
+    g_y, g_hN = g
+    (g_xBC, g_dt, g_A, g_cw, g_cb, g_D, g_bias, g_h0, g_edge) = (
+        ssd_pallas_batched_fused_bwd_impl(
+            xBC, dt, A, conv_w, conv_b, D, dt_bias,
+            g_y.astype(xBC.dtype), carries, dims, dt_softplus, reverse,
+            T, nci, interpret, g_hN=g_hN, edge_hist=edge_hist,
+            need_edge_grad=True,
+        ))
+    g_cw = g_cw.astype(jnp.asarray(conv_w).dtype).reshape(jnp.shape(conv_w))
+    if conv_b is None:
+        g_cb = None
+    else:
+        g_cb = g_cb.astype(jnp.asarray(conv_b).dtype).reshape(
+            jnp.shape(conv_b))
+    if D is None:
+        g_D = None
+    else:
+        g_D = g_D.astype(jnp.asarray(D).dtype).reshape(jnp.shape(D))
+    if dt_bias is None:
+        g_bias = None
+    else:
+        g_bias = g_bias.astype(jnp.asarray(dt_bias).dtype).reshape(
+            jnp.shape(dt_bias))
+    return (g_xBC.astype(xBC.dtype), g_dt.astype(dt.dtype), g_A, g_cw,
+            g_cb, g_D, g_bias, g_h0, g_edge.astype(edge_hist.dtype))
+
+
+ssd_pallas_batched_fused_cp.defvjp(_fused_cp_fwd, _fused_cp_bwd)

@@ -295,3 +295,128 @@ def sequence_parallel_ssd(
         out_specs=seq4,
     )
     return fn(x, dt, B_mat, C, A, D_in, bias_in)
+
+
+def sequence_parallel_ssd_fused(
+    xBC: jnp.ndarray,    # (G, L, H·P + 2·NG·N) PRE-conv — L sharded
+    dt: jnp.ndarray,     # (G, L, H)
+    A: jnp.ndarray,      # (H,) replicated, negative
+    conv_w: jnp.ndarray,  # (K, Wc)
+    conv_b: Optional[jnp.ndarray] = None,
+    D: Optional[jnp.ndarray] = None,
+    dt_bias: Optional[jnp.ndarray] = None,
+    dims=None,           # (H, P, NG, N) — required, static
+    dt_softplus: bool = False,
+    reverse: bool = False,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    chunk_size: int = 128,
+    seg_chunks: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused-conv context-parallel SSD: conv + SiLU + x/B/C split run
+    INSIDE the per-shard Pallas kernels, with the cross-shard conv halo
+    exchanged as ONE ppermute of 8 boundary raw rows.
+
+    The unfused CP path (:func:`sequence_parallel_ssd`) runs the
+    depthwise conv as a global XLA op on L-sharded activations, which
+    materializes the post-conv (L, H·P + 2·NG·N) tensor in HBM — the
+    exact working-set the fused kernels exist to kill (it is what pushed
+    single-chip 131k v2 training out of 16 GB). Here each shard's kernels
+    see the true history via ``edge_hist`` (the neighbor's boundary rows;
+    `ops/ssd_pallas_batched.py ssd_pallas_batched_fused_cp`), so >131k
+    contexts get the fused memory profile too. The boundary-state
+    exchange is the same exact two-pass construction as
+    :func:`sequence_parallel_ssd` (analytic per-head shard decay);
+    gradients are exact — the edge_hist cotangent (the conv-transpose
+    spillover into the neighbor's rows) rides the ppermute transpose back
+    into the neighbor's g_xBC.
+
+    Requires the per-shard length to be a multiple of
+    ``chunk_size·seg_chunks`` (no tail padding between shards) and ≥ 8
+    rows. TP composition is not supported on this path (the fused kernel
+    owns the full xBC lane width); `models/mamba2.py` falls back to the
+    unfused CP path when ``tensor_parallel_axis`` is also set.
+    """
+    from caduceus_tpu.ops.ssd import _resolve_dt
+    from caduceus_tpu.ops.ssd_pallas_batched import (
+        _HIST_ROWS, ssd_pallas_batched_fused_cp)
+
+    assert dims is not None, "dims=(H, P, NG, N) is required"
+    H, Pd, NG, N = dims
+    n_s = mesh.shape[axis]
+    G, L, Wc = xBC.shape
+    assert L % n_s == 0, f"L={L} not divisible by mesh axis {axis}={n_s}"
+    L_loc = L // n_s
+    assert L_loc >= _HIST_ROWS, (L_loc,)
+
+    seq3 = P(None, axis, None)
+    par1 = P()
+
+    def _varying(t):
+        if hasattr(lax, "pcast"):
+            return lax.pcast(t, (axis,), to="varying")
+        if hasattr(lax, "pvary"):
+            return lax.pvary(t, (axis,))
+        return t
+
+    def local(x_l, dt_l, A_, cw, cb, D_, bias_):
+        idx = lax.axis_index(axis)
+        HB = _HIST_ROWS
+        # one halo ppermute of the 8 boundary raw rows; shards with no
+        # source (the sequence edge) receive ppermute's fill of zeros —
+        # exactly the sequence-start history the kernel's zero edge means
+        if reverse:
+            rows = x_l[:, :HB]
+            perm = [(s + 1, s) for s in range(n_s - 1)]
+        else:
+            rows = x_l[:, -HB:]
+            perm = [(s, s + 1) for s in range(n_s - 1)]
+        edge = lax.ppermute(rows, axis, perm)
+
+        kw = dict(dims=(H, Pd, NG, N), dt_softplus=dt_softplus,
+                  reverse=reverse, chunk_size=chunk_size,
+                  interpret=interpret, seg_chunks=seg_chunks)
+        zero_h = _varying(jnp.zeros((G, H, N, Pd), jnp.float32))
+
+        # pass 1: local scan from zero state — only the final state is used
+        _, b_s = ssd_pallas_batched_fused_cp(
+            x_l, dt_l, A_, cw, cb, None, bias_, zero_h, edge, **kw)
+
+        # analytic per-head total decay of this shard: exp(A_h · Σ_t dt)
+        dsum = jnp.sum(_resolve_dt(dt_l, bias_, dt_softplus), axis=1)
+        A_prod = jnp.exp(dsum * A_.astype(jnp.float32)[None])[..., None, None]
+
+        a_all = lax.all_gather(A_prod, axis)  # (n_s, G, H, 1, 1)
+        b_all = lax.all_gather(b_s, axis)     # (n_s, G, H, N, P)
+        order = range(n_s - 1, -1, -1) if reverse else range(n_s)
+        h_run = jnp.zeros_like(b_s)
+        my_h0 = jnp.zeros_like(b_s)
+        for s in order:
+            my_h0 = jnp.where(idx == s, h_run, my_h0)
+            h_run = a_all[s] * h_run + b_all[s]
+
+        # pass 2: exact local scan with the true incoming state
+        y, _ = ssd_pallas_batched_fused_cp(
+            x_l, dt_l, A_, cw, cb, D_, bias_, my_h0, edge, **kw)
+        return y
+
+    from caduceus_tpu.parallel.mesh import shard_map_compat
+
+    cb_in = jnp.zeros((Wc,), jnp.float32) if conv_b is None else conv_b
+    D_in = jnp.zeros((H,), jnp.float32) if D is None else D
+    bias_in = jnp.zeros((H,), jnp.float32) if dt_bias is None else dt_bias
+    has_cb, has_D, has_bias = (conv_b is not None, D is not None,
+                               dt_bias is not None)
+    fn = shard_map_compat(
+        lambda x_l, dt_l, A_, cw, cb, D_, b_: local(
+            x_l, dt_l, A_, cw,
+            cb if has_cb else None,
+            D_ if has_D else None,
+            b_ if has_bias else None),
+        mesh,
+        in_specs=(seq3, seq3, par1, par1, par1, par1, par1),
+        out_specs=P(None, axis, None, None),
+    )
+    return fn(xBC, dt, A, conv_w, cb_in, D_in, bias_in)

@@ -500,3 +500,48 @@ def test_v2_same_axis_cp_tp_rejected():
     with pytest.raises(ValueError):
         v2_config(tensor_parallel_axis="model",
                   context_parallel_axis="model")
+
+
+def test_v2_model_context_parallel_fused_kernel(mesh8):
+    """CP with use_kernel='pallas_batched_interpret' takes the FUSED-conv
+    sequence-parallel path (`sequence_parallel_ssd_fused` — conv + SiLU +
+    split inside the per-shard kernels, halo as one 8-row ppermute):
+    forward and backward match the unsharded XLA model."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from caduceus_tpu.parallel.mesh import with_mesh
+
+    B, L = 2, 128
+    ids = np.random.default_rng(3).integers(7, 11, (B, L)).astype(np.int32)
+    plain = CaduceusForMaskedLM(v2_config())
+    params = plain.init(jax.random.PRNGKey(0), ids)
+    want = plain.apply(params, ids)
+
+    cp_model = CaduceusForMaskedLM(v2_config(
+        context_parallel_axis="data",
+        ssm_cfg=SSMConfig(version=2, d_state=16, headdim=8,
+                          use_kernel="pallas_batched_interpret"),
+    ))
+    ids_sharded = jax.device_put(
+        jnp.asarray(ids), NamedSharding(mesh8, P(None, "data"))
+    )
+    with with_mesh(mesh8):
+        got = jax.jit(cp_model.apply)(params, ids_sharded)
+
+        def loss(p, x):
+            return jnp.sum(jnp.square(cp_model.apply(p, x).astype(jnp.float32)))
+
+        g_cp = jax.jit(jax.grad(loss))(params, ids_sharded)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+    def loss_plain(p, x):
+        return jnp.sum(jnp.square(plain.apply(p, x).astype(jnp.float32)))
+
+    g_ref = jax.jit(jax.grad(loss_plain))(params, jnp.asarray(ids))
+    for a, b in zip(jax.tree_util.tree_leaves(g_cp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=5e-4)

@@ -412,3 +412,99 @@ def test_h_init_threading():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(hN), np.asarray(hN_want),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fused_cp_edge_hist_contract(reverse):
+    """ssd_pallas_batched_fused_cp: two manually-chained shards (edge_hist
+    = neighbor boundary rows, h_init = neighbor final state) reproduce the
+    full-sequence fused scan — forward AND gradients, including the
+    cross-shard conv-transpose spillover carried by the edge_hist
+    cotangent (the kernel's emitted pend scratch)."""
+    from caduceus_tpu.ops.ssd_pallas_batched import (
+        _HIST_ROWS, ssd_pallas_batched_fused_cp)
+
+    G, L, H, P, NG, N = 2, 64, 4, 8, 1, 16
+    xBC, dt, A, cw, cb, D, bias, dims = make_fused_inputs(
+        G=G, L=L, H=H, P=P, NG=NG, N=N)
+    gy = jnp.asarray(
+        np.random.default_rng(5).standard_normal((G, L, H, P)), jnp.float32)
+    HB = _HIST_ROWS
+    kw = dict(dims=dims, dt_softplus=True, reverse=reverse, chunk_size=8,
+              interpret=True, seg_chunks=4)
+
+    def loss_full(args):
+        xBC, dt, A, cw, cb, D, bias = args
+        y = ssd_chunked(xBC, dt, A, None, None, D=D, dt_bias=bias,
+                        dt_softplus=True, reverse=reverse, chunk_size=8,
+                        conv_w=cw, conv_b=cb, dims=dims)
+        return jnp.sum(y.reshape(G, L, H, P) * gy)
+
+    def loss_shards(args):
+        xBC, dt, A, cw, cb, D, bias = args
+        h0 = jnp.zeros((G, H, N, P), jnp.float32)
+        x0, x1 = xBC[:, :L // 2], xBC[:, L // 2:]
+        d0, d1 = dt[:, :L // 2], dt[:, L // 2:]
+        if not reverse:
+            zero_e = jnp.zeros((G, HB, xBC.shape[-1]), jnp.float32)
+            y0, hN = ssd_pallas_batched_fused_cp(
+                x0, d0, A, cw, cb, D, bias, h0, zero_e, **kw)
+            y1, _ = ssd_pallas_batched_fused_cp(
+                x1, d1, A, cw, cb, D, bias, hN, x0[:, -HB:], **kw)
+        else:
+            zero_e = jnp.zeros((G, HB, xBC.shape[-1]), jnp.float32)
+            y1, hN = ssd_pallas_batched_fused_cp(
+                x1, d1, A, cw, cb, D, bias, h0, zero_e, **kw)
+            y0, _ = ssd_pallas_batched_fused_cp(
+                x0, d0, A, cw, cb, D, bias, hN, x1[:, :HB], **kw)
+        return jnp.sum(jnp.concatenate([y0, y1], axis=1) * gy)
+
+    args = (xBC, dt, A, cw, cb, D, bias)
+    v_s, g_s = jax.value_and_grad(loss_shards)(args)
+    v_f, g_f = jax.value_and_grad(loss_full)(args)
+    np.testing.assert_allclose(float(v_s), float(v_f), rtol=1e-5)
+    for n, a, b in zip("xBC dt A cw cb D bias".split(), g_s, g_f):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=1e-5, err_msg=n)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_sequence_parallel_fused(reverse):
+    """Fused-conv CP through shard_map on the 8-device mesh: one halo
+    ppermute of 8 boundary raw rows + per-shard fused kernels match the
+    single-device fused XLA scan, forward and all gradients."""
+    from caduceus_tpu.parallel.mesh import make_mesh
+    from caduceus_tpu.parallel.seq_scan import sequence_parallel_ssd_fused
+
+    assert jax.device_count() >= 8
+    mesh8 = make_mesh(jax.devices()[:8])
+    G, L, H, P, NG, N = 2, 128, 4, 8, 1, 16
+    xBC, dt, A, cw, cb, D, bias, dims = make_fused_inputs(
+        G=G, L=L, H=H, P=P, NG=NG, N=N)
+    gy = jnp.asarray(
+        np.random.default_rng(9).standard_normal((G, L, H, P)), jnp.float32)
+
+    def loss_cp(args):
+        xBC, dt, A, cw, cb, D, bias = args
+        y = sequence_parallel_ssd_fused(
+            xBC, dt, A, cw, conv_b=cb, D=D, dt_bias=bias, dims=dims,
+            dt_softplus=True, reverse=reverse, mesh=mesh8, axis="data",
+            chunk_size=8, seg_chunks=2, interpret=True)
+        return jnp.sum(y * gy)
+
+    def loss_ref(args):
+        xBC, dt, A, cw, cb, D, bias = args
+        y = ssd_chunked(xBC, dt, A, None, None, D=D, dt_bias=bias,
+                        dt_softplus=True, reverse=reverse, chunk_size=8,
+                        conv_w=cw, conv_b=cb, dims=dims)
+        return jnp.sum(y.reshape(G, L, H, P) * gy)
+
+    args = (xBC, dt, A, cw, cb, D, bias)
+    v_cp, g_cp = jax.value_and_grad(loss_cp)(args)
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(args)
+    np.testing.assert_allclose(float(v_cp), float(v_ref), rtol=1e-5)
+    for n, a, b in zip("xBC dt A cw cb D bias".split(), g_cp, g_ref):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=2e-5, err_msg=n)
