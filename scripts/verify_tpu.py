@@ -339,6 +339,68 @@ def main():
                         "dt_bias"], g16k, g16o):
         _check(f"ssd-fused-N16 bwd grad {n}", a, b, 5e-3, failures)
 
+    # ---- fused-conv CP entry (edge_hist contract) ----
+    # Mosaic-compiles the emit_pend output path of the fused adjoint (the
+    # per-piece pend scratches written to a pinned output block) and the
+    # host-side conv-transpose edge conversion: two chained shards
+    # (edge_hist = neighbor boundary rows, h_init = neighbor final state)
+    # must reproduce the full-sequence fused scan, fwd AND grads — the
+    # single-chip form of `parallel/seq_scan.py sequence_parallel_ssd_fused`.
+    from caduceus_tpu.ops.ssd_pallas_batched import (
+        ssd_pallas_batched_fused_cp)
+
+    def fused_cp_loss(args):
+        xbc_, dt_, A_, cw_, cb_, D_, b_ = args
+        hb = 8
+        h0 = jnp.zeros((G2, H2, N2, P2), jnp.float32)
+        zero_e = jnp.zeros((G2, hb, Wc), jnp.float32)
+        kwc = dict(dims=dims2, dt_softplus=True, reverse=False,
+                   chunk_size=128, seg_chunks=8)
+        y1, hN = ssd_pallas_batched_fused_cp(
+            xbc_[:, :half], dt_[:, :half], A_, cw_, cb_, D_, b_,
+            h0, zero_e, **kwc)
+        y2, _ = ssd_pallas_batched_fused_cp(
+            xbc_[:, half:], dt_[:, half:], A_, cw_, cb_, D_, b_,
+            hN, xbc_[:, half - hb:half], **kwc)
+        y = jnp.concatenate([y1, y2], axis=1)
+        return jnp.sum(jnp.square(y.astype(jnp.float32))) / y.size
+
+    v_cp, g_cp = jax.jit(jax.value_and_grad(fused_cp_loss))(fused_args)
+    v_full = jax.jit(ssd_fused_loss(True, dims2))(fused_args)
+    _check("ssd-fused-cp chained value", v_cp, v_full, 1e-4, failures)
+    for n, a, b in zip(["xBC", "dt", "A", "conv_w", "conv_b", "D",
+                        "dt_bias"], g_cp, g_fo):
+        _check(f"ssd-fused-cp grad {n}", a, b, 5e-3, failures)
+
+    # N=16 (non-128-aligned pieces): the emit_pend path stores each
+    # per-piece pend scratch at a non-aligned lane offset of the pinned
+    # output block — the Mosaic layout class that needed per-piece
+    # scratches in the first place; must be device-verified, not just
+    # interpret-tested.
+    def fused_cp_loss16(args):
+        xbc_, dt_, A_, cw_, cb_, D_, b_ = args
+        hb = 8
+        h0 = jnp.zeros((G2, H2, N16, P2), jnp.float32)
+        zero_e = jnp.zeros((G2, hb, Wc16), jnp.float32)
+        kwc = dict(dims=dims16, dt_softplus=True, reverse=False,
+                   chunk_size=128, seg_chunks=8)
+        y1, hN = ssd_pallas_batched_fused_cp(
+            xbc_[:, :half], dt_[:, :half], A_, cw_, cb_, D_, b_,
+            h0, zero_e, **kwc)
+        y2, _ = ssd_pallas_batched_fused_cp(
+            xbc_[:, half:], dt_[:, half:], A_, cw_, cb_, D_, b_,
+            hN, xbc_[:, half - hb:half], **kwc)
+        y = jnp.concatenate([y1, y2], axis=1)
+        return jnp.sum(jnp.square(y.astype(jnp.float32))) / y.size
+
+    v_cp16, g_cp16 = jax.jit(jax.value_and_grad(fused_cp_loss16))(a16)
+    v_full16 = jax.jit(ssd_fused_loss(True, dims16))(a16)
+    _check("ssd-fused-cp-N16 chained value", v_cp16, v_full16, 1e-4,
+           failures)
+    for n, a, b in zip(["xBC", "dt", "A", "conv_w", "conv_b", "D",
+                        "dt_bias"], g_cp16, g16o):
+        _check(f"ssd-fused-cp-N16 grad {n}", a, b, 5e-3, failures)
+
     # ---- flash attention (hybrid-MHA layers) vs the XLA oracle ----
     # bf16-class MXU rounding inside the kernel → looser tolerance.
     from caduceus_tpu.ops.attention import mha_attention

@@ -414,8 +414,9 @@ def test_h_init_threading():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("ng", [1, 2])
 @pytest.mark.parametrize("reverse", [False, True])
-def test_fused_cp_edge_hist_contract(reverse):
+def test_fused_cp_edge_hist_contract(reverse, ng):
     """ssd_pallas_batched_fused_cp: two manually-chained shards (edge_hist
     = neighbor boundary rows, h_init = neighbor final state) reproduce the
     full-sequence fused scan — forward AND gradients, including the
@@ -424,7 +425,7 @@ def test_fused_cp_edge_hist_contract(reverse):
     from caduceus_tpu.ops.ssd_pallas_batched import (
         _HIST_ROWS, ssd_pallas_batched_fused_cp)
 
-    G, L, H, P, NG, N = 2, 64, 4, 8, 1, 16
+    G, L, H, P, NG, N = 2, 64, 4, 8, ng, 16
     xBC, dt, A, cw, cb, D, bias, dims = make_fused_inputs(
         G=G, L=L, H=H, P=P, NG=NG, N=N)
     gy = jnp.asarray(
