@@ -88,6 +88,12 @@ def _load_preset(argv):
         ("train", "warmup_frac"): "warmup_frac",
         ("train", "lr_min"): "lr_min",
         ("train", "gradient_clip"): "gradient_clip",
+        ("train", "accum_steps"): "accum_steps",
+        ("train", "ema_decay"): "ema_decay",
+        ("train", "log_every"): "log_every",
+        ("train", "eval_every"): "eval_every",
+        ("train", "eval_batches"): "eval_batches",
+        ("train", "checkpoint_every"): "checkpoint_every",
     }
     for (sec, key), dest in mapping.items():
         if sec in tree and key in (tree[sec] or {}):
@@ -154,6 +160,10 @@ def cmd_pretrain(argv):
                         "transfers concurrent with execution serialize — see "
                         "bench.py BENCH_PRESTAGE note)")
     p.add_argument("--ema-decay", type=float, default=0.0)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--eval-every", type=int, default=1000)
+    p.add_argument("--eval-batches", type=int, default=16)
+    p.add_argument("--checkpoint-every", type=int, default=500)
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of a few steady-state "
                         "steps into this directory (tensorboard-viewable)")
@@ -291,6 +301,10 @@ def cmd_pretrain(argv):
         dropout=dropout,
         prefetch=args.prefetch,
         profile_dir=args.profile_dir,
+        log_every=args.log_every,
+        eval_every=args.eval_every,
+        eval_batches=args.eval_batches,
+        checkpoint_every=args.checkpoint_every,
     )
     from caduceus_tpu.utils.logging import make_logger, param_count
 

@@ -160,3 +160,60 @@ def test_rc_aug_flips_some_windows(genome):
         int(not np.array_equal(ds.get(i)[0], ds_no.get(i)[0])) for i in range(16)
     )
     assert 0 < diffs < 16  # coin flip: some flipped, some not
+
+
+# --- structured synthetic genome (r5: make_structured_genome) ---
+
+def test_structured_genome_deterministic_and_structured(tmp_path):
+    from caduceus_tpu.data.synthetic import make_structured_genome
+
+    kw = dict(n_chromosomes=1, chrom_len=1 << 17, window=1 << 15,
+              repeat_span=1 << 14, repeat_len=1 << 10, seg_len=64,
+              mutation_rate=0.03, seed=3)
+    fa1, bed1 = make_structured_genome(str(tmp_path / "a"), **kw)
+    fa2, _ = make_structured_genome(str(tmp_path / "b"), **kw)
+    s1 = open(fa1).read()
+    assert s1 == open(fa2).read()  # pure function of seed
+
+    seq = "".join(s1.split("\n")[1:])
+    assert set(seq) <= set("ACGTN")
+    arr = np.frombuffer(seq.encode(), np.uint8)
+
+    # segment-library structure: 64-mers repeat far more often than in an
+    # iid genome (any 16-mer recurrence is astronomically unlikely iid)
+    kmers = set()
+    hits = 0
+    for i in range(0, len(arr) - 16, 64):
+        k = seq[i:i + 16]
+        hits += k in kmers
+        kmers.add(k)
+    assert hits > len(kmers) * 0.2
+
+    # long-range repeats: each 2^14 block's second half shares >=1kb spans
+    # with its first half (planted copies; both sides carry independent 3%
+    # mutations, so test Hamming identity, not exact match — a true copy
+    # pair matches at ~95.6% per base, unrelated segment-library text far
+    # lower over a 256-mer spanning 4 segments)
+    blk = arr[: 1 << 14]
+    first, second = blk[: 1 << 13], blk[1 << 13:]
+    win = np.lib.stride_tricks.sliding_window_view(first, 256)
+    best = 0.0
+    for off in range(0, len(second) - 256, 512):
+        probe = second[off:off + 256]
+        ident = (win == probe).mean(axis=1).max()
+        best = max(best, float(ident))
+    assert best >= 0.9
+
+
+def test_structured_genome_feeds_hg38_dataset(tmp_path):
+    from caduceus_tpu.data.synthetic import make_structured_genome
+
+    fa, bed = make_structured_genome(
+        str(tmp_path), n_chromosomes=2, chrom_len=1 << 15, window=1 << 12,
+        repeat_span=1 << 12, repeat_len=1 << 8, seg_len=64, seed=0)
+    ds = HG38Dataset("train", bed, fa, max_length=1 << 10, mlm=True, seed=1,
+                     max_allowed_length=1 << 12)
+    assert len(ds) > 0
+    x, y = ds.get(0)
+    assert x.shape == (1 << 10,) and y.shape == (1 << 10,)
+    assert (y != 4).sum() > 0  # some unmasked-loss positions
