@@ -246,7 +246,19 @@ class _DirectionParamsV2(nn.Module):
             "call caduceus_tpu.parallel.mesh.set_global_mesh (or with_mesh)"
         )
         kernel = self._resolved_kernel()
-        if (kernel.startswith("pallas_batched")
+        # the fused per-shard kernels forbid tail padding (padded rows would
+        # sit between real data and the CP neighbor's edge_hist rows), so the
+        # per-shard length must be segment-aligned; otherwise fall back to
+        # the unfused sequence_parallel_ssd path, which pads freely
+        fused_cp_ok = False
+        if kernel.startswith("pallas_batched") and c.context_parallel_axis:
+            n_s = mesh.shape[c.context_parallel_axis]
+            if L % n_s == 0:
+                L_loc = L // n_s
+                T = max(8, -(-min(s.ssd_chunk_size, L_loc) // 8) * 8)
+                nci = max(1, min(s.ssd_seg_chunks, -(-L_loc // T)))
+                fused_cp_ok = L_loc >= 8 and L_loc % (T * nci) == 0
+        if (fused_cp_ok
                 and c.context_parallel_axis and not c.tensor_parallel_axis):
             # fused-conv CP: conv + SiLU + split stay inside the per-shard
             # kernels; the halo is ONE ppermute of 8 boundary raw rows

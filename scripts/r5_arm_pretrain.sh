@@ -4,7 +4,7 @@
 # CLI on the real TPU. Usage: scripts/r5_arm_pretrain.sh {v2n128|v2n16|v1}
 set -euo pipefail
 cd "$(dirname "$0")/.."
-ARM=${1:?usage: r5_arm_pretrain.sh {v2n128|v2n16|v1}}
+ARM=${1:?usage: r5_arm_pretrain.sh v2n128|v2n16|v1}
 GEN=${R5_GENOME_DIR:-/tmp/r5_genome}
 if [ ! -f "$GEN/genome.fa" ]; then
   echo "generating structured genome at $GEN ..."

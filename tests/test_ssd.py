@@ -545,3 +545,35 @@ def test_v2_model_context_parallel_fused_kernel(mesh8):
         s = float(np.abs(np.asarray(b)).max()) + 1e-9
         np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
                                    atol=5e-4)
+
+
+def test_v2_cp_fused_fallback_unaligned_shard(mesh8):
+    """ADVICE r4: per-shard lengths not segment-aligned (L_loc % Ts != 0)
+    cannot use the fused-CP kernels (edge_hist forbids tail padding); the
+    model must fall back to the unfused sequence-parallel path instead of
+    assert-failing at trace time. L=384 over 8 shards -> L_loc=48; chunk 16
+    x seg 2 -> Ts=32, 48 % 32 != 0."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from caduceus_tpu.parallel.mesh import with_mesh
+
+    B, L = 2, 384
+    ids = np.random.default_rng(7).integers(7, 11, (B, L)).astype(np.int32)
+    ssm = SSMConfig(version=2, d_state=16, headdim=8,
+                    ssd_chunk_size=16, ssd_seg_chunks=2)
+    plain = CaduceusForMaskedLM(v2_config(ssm_cfg=ssm))
+    params = plain.init(jax.random.PRNGKey(0), ids)
+    want = plain.apply(params, ids)
+
+    cp_model = CaduceusForMaskedLM(v2_config(
+        context_parallel_axis="data",
+        ssm_cfg=SSMConfig(version=2, d_state=16, headdim=8,
+                          ssd_chunk_size=16, ssd_seg_chunks=2,
+                          use_kernel="pallas_batched_interpret"),
+    ))
+    ids_sharded = jax.device_put(
+        jnp.asarray(ids), NamedSharding(mesh8, P(None, "data")))
+    with with_mesh(mesh8):
+        got = jax.jit(cp_model.apply)(params, ids_sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
