@@ -577,3 +577,52 @@ def test_v2_cp_fused_fallback_unaligned_shard(mesh8):
         got = jax.jit(cp_model.apply)(params, ids_sharded)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("ngroups", [1, 2])
+def test_v2_cp_tp_composed_fused_kernel(ngroups):
+    """r5 (VERDICT r4 #4): CP×TP composed on the FUSED-conv path — per-head
+    lane ownership keeps conv+SiLU+split inside the per-shard kernels on a
+    (data=2, model=2, seq=2) mesh. ngroups=1 replicates B/C lanes per TP
+    shard; ngroups=2 shards the groups with the heads. Forward and
+    parameter gradients match the unsharded model."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from caduceus_tpu.parallel.mesh import make_mesh, with_mesh
+    from caduceus_tpu.parallel.sharding import shard_params
+
+    assert jax.device_count() >= 8
+    B, L = 2, 128
+    ids = np.random.default_rng(11).integers(7, 11, (B, L)).astype(np.int32)
+    ssm = dict(version=2, d_state=16, headdim=8, ngroups=ngroups)
+    plain = CaduceusForMaskedLM(v2_config(ssm_cfg=SSMConfig(**ssm)))
+    params = plain.init(jax.random.PRNGKey(0), ids)
+    want = plain.apply(params, ids)
+
+    mesh = make_mesh(jax.devices()[:8], data=2, model=2, seq=2)
+    comp = CaduceusForMaskedLM(v2_config(
+        tensor_parallel_axis="model", context_parallel_axis="seq",
+        ssm_cfg=SSMConfig(use_kernel="pallas_batched_interpret", **ssm)))
+    ids_sharded = jax.device_put(
+        jnp.asarray(ids), NamedSharding(mesh, P(None, "seq")))
+    with with_mesh(mesh):
+        p_sh = shard_params(mesh, params)
+        got = jax.jit(comp.apply)(p_sh, ids_sharded)
+
+        def loss(p, x):
+            return jnp.sum(jnp.square(comp.apply(p, x).astype(jnp.float32)))
+
+        g = jax.jit(jax.grad(loss))(p_sh, ids_sharded)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+    def loss_plain(p, x):
+        return jnp.sum(jnp.square(plain.apply(p, x).astype(jnp.float32)))
+
+    g_ref = jax.grad(loss_plain)(params, jnp.asarray(ids))
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_ref)):
+        s = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=5e-4)
