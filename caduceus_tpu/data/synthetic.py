@@ -127,6 +127,70 @@ def make_structured_genome(
     return fasta_path, bed_path
 
 
+def make_structured_classification_suite(
+    out_dir: str,
+    genome_fasta: str,
+    tasks=None,          # {task_name: (num_classes, seq_len)}
+    n_train: int = 2000,
+    n_test: int = 500,
+    motif_len: int = 12,
+    motif_noise: float = 0.1,
+    seed: int = 0,
+) -> str:
+    """GB-shaped synthetic classification tasks over a real genome background.
+
+    Stand-in for the GenomicBenchmarks downloads (zero-egress environment):
+    each task's sequences are windows SAMPLED FROM ``genome_fasta`` (use the
+    structured genome, so they carry the pretraining distribution — a
+    pretrained backbone's representations transfer), with a per-class motif
+    planted at a random position and mutated at ``motif_noise`` per base.
+    Writes ``<out_dir>/<task>/{train,test}.tsv`` in the catalog's format
+    (`data/classification.py`). Task names/class counts default to the
+    GenomicBenchmarks catalog; seq lens follow the per-task presets
+    (`configs/downstream/gb/*.yaml`).
+    """
+    from caduceus_tpu.data.classification import GENOMIC_BENCHMARK_TASKS
+    from caduceus_tpu.data.fasta import FastaFile
+
+    preset_lens = {
+        "dummy_mouse_enhancers_ensembl": 1024,
+        "demo_coding_vs_intergenomic_seqs": 200,
+        "demo_human_or_worm": 200,
+        "human_enhancers_cohn": 500,
+        "human_enhancers_ensembl": 512,
+        "human_ensembl_regulatory": 512,
+        "human_nontata_promoters": 251,
+        "human_ocr_ensembl": 512,
+    }
+    if tasks is None:
+        tasks = {t: (c, preset_lens.get(t, 512))
+                 for t, c in GENOMIC_BENCHMARK_TASKS.items()}
+
+    fa = FastaFile(genome_fasta)
+    names = fa.names
+    alphabet = np.array(list("ACGT"))
+    for ti, (task, (num_classes, seq_len)) in enumerate(sorted(tasks.items())):
+        rng = np.random.default_rng(seed + 1000 * ti)
+        motifs = ["".join(alphabet[rng.integers(0, 4, motif_len)])
+                  for _ in range(num_classes)]
+        os.makedirs(os.path.join(out_dir, task), exist_ok=True)
+        for split, n in (("train", n_train), ("test", n_test)):
+            with open(os.path.join(out_dir, task, f"{split}.tsv"), "w") as f:
+                for _ in range(n):
+                    c = int(rng.integers(num_classes))
+                    chrom = names[int(rng.integers(len(names)))]
+                    clen = fa.length(chrom)
+                    start = int(rng.integers(0, clen - seq_len))
+                    seq = np.array(list(fa.fetch(chrom, start, start + seq_len)))
+                    m = np.array(list(motifs[c]))
+                    noise = rng.random(motif_len) < motif_noise
+                    m[noise] = alphabet[rng.integers(0, 4, int(noise.sum()))]
+                    p = int(rng.integers(0, seq_len - motif_len))
+                    seq[p : p + motif_len] = m
+                    f.write("".join(seq) + f"\t{c}\n")
+    return out_dir
+
+
 def make_synthetic_genome(
     out_dir: str,
     n_chromosomes: int = 2,

@@ -217,3 +217,20 @@ def test_structured_genome_feeds_hg38_dataset(tmp_path):
     x, y = ds.get(0)
     assert x.shape == (1 << 10,) and y.shape == (1 << 10,)
     assert (y != 4).sum() > 0  # some unmasked-loss positions
+
+
+def test_structured_classification_suite(tmp_path):
+    from caduceus_tpu.data.classification import GENOMIC_BENCHMARK_TASKS, load_tsv
+    from caduceus_tpu.data.synthetic import (
+        make_structured_classification_suite, make_structured_genome)
+
+    fa, _ = make_structured_genome(
+        str(tmp_path / "g"), n_chromosomes=1, chrom_len=1 << 15,
+        window=1 << 12, repeat_span=1 << 12, repeat_len=1 << 8, seg_len=64)
+    d = make_structured_classification_suite(
+        str(tmp_path / "t"), fa, n_train=20, n_test=8)
+    for task, n_cls in GENOMIC_BENCHMARK_TASKS.items():
+        seqs, labels = load_tsv(f"{d}/{task}/train.tsv")
+        assert len(seqs) == 20
+        assert set(int(x) for x in labels) <= set(range(n_cls))
+        assert set("".join(seqs)) <= set("ACGTN")
