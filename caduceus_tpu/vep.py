@@ -292,22 +292,19 @@ def main(argv=None):
     import jax
 
     from caduceus_tpu.config import CaduceusConfig
-    from caduceus_tpu.models.caduceus import Caduceus, CaduceusForMaskedLM
-    from caduceus_tpu.train.checkpoint import restore_checkpoint
-    from caduceus_tpu.train.optim import make_optimizer
-    from caduceus_tpu.train.trainer import TrainState
-    import jax.numpy as jnp
+    from caduceus_tpu.train.checkpoint import load_run_params
 
     cfg = CaduceusConfig.load(os.path.join(args.run_dir, "model_config.json"))
-    mlm = CaduceusForMaskedLM(cfg)
-    template_params = mlm.init(jax.random.PRNGKey(0), np.zeros((1, 8), np.int32))
-    tx, _ = make_optimizer()
-    template = TrainState(template_params, tx.init(template_params), jnp.zeros((), jnp.int32))
-    state, _ = restore_checkpoint(os.path.join(args.run_dir, "checkpoints"), template)
+    # template-free restore, EMA weights preferred when the run kept them —
+    # the reference evaluates/dumps with the swapped EMA weights
+    # (`train.py` ema callback protocol); deployment loaders must not need
+    # the run's optimizer configuration to read weights (r4 pattern, same
+    # as serve/generate)
+    params, _ = load_run_params(args.run_dir)
 
     rank, world = jax.process_index(), jax.process_count()
     dump_embeddings(
-        cfg, state.params, args.fasta, args.variants, args.out,
+        cfg, params, args.fasta, args.variants, args.out,
         seq_len=args.seq_len, batch_size=args.batch_size,
         rank=rank, world_size=world,
     )
