@@ -482,6 +482,17 @@ class Trainer:
             acc_w = cnt_w = 0.0
             pos_nll = pos_cnt = None
             n_batches = 0
+            # score a FIXED val prefix on every call: the eval loader's
+            # sampler is stateful (the exactly-once resume contract), so
+            # without a reset consecutive evals consume a rolling window of
+            # the split — different batches per eval point, and an empty
+            # run ({}) whenever a call lands exactly on the epoch boundary
+            # (observed as missing val/ or val/ema records in the r5 arm
+            # runs). Resetting makes every eval — plain and EMA, every
+            # step, every run — score identical batches.
+            sampler = getattr(self.eval_loader, "sampler", None)
+            if sampler is not None and hasattr(sampler, "load_state_dict"):
+                sampler.load_state_dict({"epoch": 0, "counter": 0})
             for i, batch in enumerate(self.eval_loader):
                 if i >= max_batches:
                     break

@@ -535,3 +535,37 @@ def test_cli_eval_context_parallel(tmp_path):
     out = [l for l in buf.getvalue().splitlines() if l.startswith("{")]
     metrics = _json.loads(out[-1])
     assert np.isfinite(metrics["test/loss"]) and metrics["test/ppl"] > 0
+
+
+def test_evaluate_scores_fixed_batches(tmp_path):
+    """r5 regression: consecutive Trainer.evaluate() calls must score the
+    SAME val batches (the stateful eval sampler used to roll through the
+    split, yielding different batches per eval point and an empty result —
+    missing val/ or val/ema records — at epoch boundaries)."""
+    from caduceus_tpu.data.hg38 import HG38DataModule
+    from caduceus_tpu.data.synthetic import make_synthetic_genome
+    from caduceus_tpu.train.trainer import Trainer, TrainerConfig
+
+    fasta, bed = make_synthetic_genome(
+        str(tmp_path), n_chromosomes=2, chrom_len=1 << 13, window=1 << 11)
+    dm = HG38DataModule(bed, fasta, max_length=256, batch_size=8, mlm=True)
+    tok = CaduceusTokenizer()
+    cfg = CaduceusConfig(
+        d_model=16, n_layer=1, vocab_size=tok.vocab_size,
+        ssm_cfg=SSMConfig(d_state=4), rcps=True,
+        complement_map=tok.complement_map, dtype="float32",
+        param_dtype="float32")
+    model = CaduceusForMaskedLM(cfg)
+    # small val split + eval_batches=3: several rounds of (plain + EMA)
+    # eval cross the epoch boundary repeatedly under the old behavior
+    tcfg = TrainerConfig(max_steps=1, run_dir=str(tmp_path / "run"),
+                         eval_batches=3, ema_decay=0.5)
+    trainer = Trainer(model, tcfg, dm.train_loader(), dm.eval_loader("valid"),
+                      ignore_index=4, log_fn=lambda m: None)
+    trainer.init_state(next(iter(dm.train_loader())))
+    outs = [trainer.evaluate() for _ in range(6)]
+    for o in outs:
+        assert "val/loss" in o and "val/ema/loss" in o, sorted(o)
+    losses = {round(o["val/loss"], 8) for o in outs}
+    ema_losses = {round(o["val/ema/loss"], 8) for o in outs}
+    assert len(losses) == 1 and len(ema_losses) == 1, (losses, ema_losses)
