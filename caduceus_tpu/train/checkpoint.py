@@ -69,6 +69,27 @@ def restore_checkpoint(path: str, state_template) -> Tuple[Any, Optional[dict]]:
     step = mgr.latest_step()
     assert step is not None, f"no checkpoint under {path}"
     template = _state_dict(state_template)
+    if jax.device_count() == 1:
+        # Single-device fast path: restore against an ABSTRACT template
+        # (ShapeDtypeStruct — structure, incl. optax NamedTuples, is kept;
+        # arrays come back as host numpy) instead of concrete device
+        # arrays. Orbax's concrete-template restore places every leaf on
+        # device one array at a time, which is pathological through a
+        # remote/tunneled TPU (~0.2-2 s per transfer × ~800 leaves ≈ tens
+        # of minutes for an 8M-param TrainState — measured on the r5 arm-A
+        # resume). Host arrays enter the jitted step uncommitted and are
+        # staged in one batch on first dispatch (also keeping the
+        # uncommitted-placement tunnel fast path; see parallel/mesh.py).
+        # Multi-device runs keep the concrete template: its shardings are
+        # the restore layout.
+        import numpy as np
+
+        def _host(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return np.zeros(x.shape, x.dtype)
+            return np.asarray(x)
+
+        template = jax.tree_util.tree_map(_host, template)
 
     def _restore(tpl):
         return mgr.restore(
