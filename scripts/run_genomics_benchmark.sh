@@ -20,6 +20,7 @@ OUT_DIR="${OUT_DIR:-./outputs/downstream/gb_cv5}"
 LRS=(${LRS:-1e-3 2e-3})
 BATCH_SIZES=(${BATCH_SIZES:-128 256})
 EPOCHS="${EPOCHS:-10}"
+SEEDS=(${SEEDS:-1 2 3 4 5})
 
 TASKS=("$@")
 if [ ${#TASKS[@]} -eq 0 ]; then
@@ -43,7 +44,7 @@ for task in "${TASKS[@]}"; do
         --preset "configs/downstream/gb/${task}.yaml" \
         --data-dir "${DATA_DIR}" \
         --batch-size "${bs}" --lr "${lr}" --epochs "${EPOCHS}" \
-        --seeds 1 2 3 4 5 --metric all \
+        --seeds "${SEEDS[@]}" --metric all \
         "${EXTRA[@]}" | tee "${OUT_DIR}/${tag}.jsonl"
     done
   done

@@ -16,6 +16,7 @@ OUT_DIR="${OUT_DIR:-./outputs/downstream/nt_cv10}"
 LRS=(${LRS:-1e-3 2e-3})
 BATCH_SIZES=(${BATCH_SIZES:-128 512})
 EPOCHS="${EPOCHS:-20}"
+SEEDS=(${SEEDS:-1 2 3 4 5 6 7 8 9 10})
 
 TASKS=("$@")
 if [ ${#TASKS[@]} -eq 0 ]; then
@@ -40,7 +41,7 @@ for task in "${TASKS[@]}"; do
         --preset "configs/downstream/nt/${task}.yaml" \
         --data-dir "${DATA_DIR}" \
         --batch-size "${bs}" --lr "${lr}" --epochs "${EPOCHS}" \
-        --seeds 1 2 3 4 5 6 7 8 9 10 --metric all \
+        --seeds "${SEEDS[@]}" --metric all \
         "${EXTRA[@]}" | tee "${OUT_DIR}/${tag}.jsonl"
     done
   done
