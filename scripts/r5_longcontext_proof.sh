@@ -32,7 +32,7 @@ print("variants ready")
 EOF
 
 echo "== VEP dump at seq-len 131072 (16 variants, ref+alt windows)"
-/usr/bin/time -v python -m caduceus_tpu.cli vep \
+python -m caduceus_tpu.cli vep \
   --fasta "$GEN/genome.fa" --variants "$OUT/variants.tsv" \
   --run-dir "$PRETRAIN" --seq-len 131072 --batch-size 1 \
   --out "$OUT/vep_embeddings" --svm 2>&1 | tee "$OUT/vep.log" | tail -20
